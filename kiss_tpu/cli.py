@@ -1,0 +1,210 @@
+"""Command-line interface mirroring the reference ``kISS`` binary.
+
+Reference surface (reference: src/main.cpp:19-40,
+include/utils/options.hpp:20-300): three subcommands with a two-stage
+option parse, generic options ``-h -v -g -t --verbose``, positional FASTA
+argument, and per-command flags. Same commands, same flags, same
+defaults, same log lines here -- so scripts written against the
+reference binary keep working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+import sys
+
+import numpy as np
+
+from kiss_tpu import BANNER, VERSION
+from kiss_tpu.models.fm_index import FMIndex
+from kiss_tpu.ops.suffix_sort import Kiss1Sorter, Kiss2Sorter
+from kiss_tpu.utils import codec, fasta, timing
+
+SORTING_ALGORITHMS = {
+    "PARALLEL_SORTING": Kiss1Sorter,
+    "PREFIX_DOUBLING": Kiss2Sorter,
+}
+
+
+def _add_generic(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "-g",
+        "--generic",
+        action="store_true",
+        help="(Under construction) input contains bases other than ATCG",
+    )
+    p.add_argument(
+        "-t",
+        "--num_threads",
+        type=int,
+        default=0,
+        metavar="NUM",
+        help="number of threads (accepted for parity; the TPU mesh is "
+        "the parallelism knob)",
+    )
+    p.add_argument(
+        "--verbose", action="store_true", help="print more information"
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kISS", add_help=True)
+    p.add_argument("-v", "--version", action="store_true", help="print version")
+    sub = p.add_subparsers(dest="command")
+
+    ss = sub.add_parser("suffix_sort", help="build a k-ordered suffix array")
+    _add_generic(ss)
+    ss.add_argument(
+        "-k",
+        "--kordered",
+        type=int,
+        default=256,
+        metavar="NUM",
+        help="sort each suffix by its first k characters; -1 = unbounded",
+    )
+    ss.add_argument(
+        "-s",
+        "--sorting-algorithm",
+        dest="sorting_algorithm",
+        type=str.upper,
+        choices=sorted(SORTING_ALGORITHMS),
+        default="PARALLEL_SORTING",
+        metavar="ALGO",
+    )
+    ss.add_argument("fasta", help="FASTA/text file path")
+
+    fb = sub.add_parser("fmindex_build", help="build and save an FM-index")
+    _add_generic(fb)
+    fb.add_argument("fasta", help="FASTA/text file path")
+
+    fq = sub.add_parser("fmindex_query", help="query a saved FM-index")
+    _add_generic(fq)
+    fq.add_argument("-q", "--query", type=str, help="single pattern to search")
+    fq.add_argument(
+        "-n", "--headn", type=int, default=10, metavar="NUM",
+        help="print at most this many positions",
+    )
+    fq.add_argument(
+        "-b", "--batch", type=str,
+        help="binary pattern file: u32 query_len, u32 num_query, then "
+        "fixed-length ASCII patterns",
+    )
+    fq.add_argument("fasta", help="FASTA/text file path")
+    return p
+
+
+def _read_folded(path: str) -> np.ndarray:
+    """read_sequence + the c % 4 alphabet fold every command applies
+    (reference: include/command/suffix_sort.hpp:29-33)."""
+    seq = fasta.read_sequence(path)
+    return codec.fold_to_acgt(seq)
+
+
+def _reject_generic(args) -> None:
+    if getattr(args, "generic", False):
+        # reference: every command throws on --generic
+        # (include/command/suffix_sort.hpp:26-28)
+        raise SystemExit(
+            "Generic sorting and indexing are currently not supported."
+        )
+
+
+def suffix_sort_main(args) -> None:
+    _reject_generic(args)
+    seq = _read_folded(args.fasta)
+    sorter = SORTING_ALGORITHMS[args.sorting_algorithm]
+    ref = sorter.prepare_aligned_ref(seq)
+    sw = timing.Stopwatch()
+    sorter.get_suffix_array_dna(ref, args.kordered, args.num_threads)
+    timing.log_info(
+        "n = %d, k = %d, suffix sorting elapsed %.6f",
+        len(ref), args.kordered, sw.elapsed(),
+    )
+
+
+def fmindex_build_main(args) -> None:
+    _reject_generic(args)
+    seq = _read_folded(args.fasta)
+    fmi = FMIndex(sa_intv=4, lookup_len=0)
+    fmi.build(seq)
+    with open(args.fasta + ".fmi", "wb") as fout:
+        fmi.save(fout)
+
+
+def _ordinal(x: int) -> str:
+    # reference: include/command/fmindex_query.hpp:42-53
+    x %= 100
+    if x // 10 == 1:
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(x % 10, "th")
+
+
+def fmindex_query_main(args) -> None:
+    _reject_generic(args)
+    seq = _read_folded(args.fasta)
+    fmi = FMIndex(sa_intv=4, lookup_len=0)
+    with open(args.fasta + ".fmi", "rb") as fin:
+        fmi.load(fin)
+
+    if args.query:
+        iq = codec.fold_to_acgt(codec.to_istring(args.query))
+        beg, end, _ = fmi.get_range(iq)
+        positions = fmi.get_offsets(beg, end)
+        timing.log_info(
+            "query = %s found %d times",
+            codec.to_string(iq), len(positions),
+        )
+        for i in range(min(args.headn, len(positions))):
+            loc = int(positions[i])
+            timing.log_info(
+                "The %d-%s position is %d, content of substring is %s",
+                i + 1, _ordinal(i + 1), loc,
+                codec.to_string(seq[loc : loc + len(iq)]),
+            )
+
+    if args.batch:
+        with open(args.batch, "rb") as pfile:
+            query_len, num_query = struct.unpack("<II", pfile.read(8))
+            timing.log_info(
+                "query_len: %d, num_query: %d", query_len, num_query
+            )
+            raw = pfile.read(query_len * num_query)
+        buf = np.frombuffer(raw, dtype=np.uint8).reshape(num_query, query_len)
+        queries = codec.fold_to_acgt(codec.to_istring(buf.reshape(-1))).reshape(
+            num_query, query_len
+        )
+        sw = timing.Stopwatch()
+        lens, positions, _starts = fmi.batch_query(queries)
+        elapsed = sw.elapsed()
+        timing.log_info("searching time: %s seconds", elapsed)
+        timing.log_info("number of matched locations: %d", int(lens.sum()))
+        timing.log_info(
+            "location checksum: %d", int(positions.astype(np.int64).sum())
+        )
+
+
+COMMANDS = {
+    "suffix_sort": suffix_sort_main,
+    "fmindex_build": fmindex_build_main,
+    "fmindex_query": fmindex_query_main,
+}
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.version:
+        print(VERSION)
+        return 0
+    if not args.command:
+        print(BANNER)
+        parser.print_help()
+        return 0
+    timing.setup_logging(verbose=getattr(args, "verbose", False))
+    COMMANDS[args.command](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

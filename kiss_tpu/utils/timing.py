@@ -1,0 +1,79 @@
+"""Stage timing + logging, mirroring the reference's spdlog usage.
+
+The reference wraps every pipeline phase in a ``spdlog::stopwatch`` and
+logs ``SPDLOG_DEBUG("<stage> elapsed {}", sw)`` with an INFO summary at the
+top level (reference: include/biovoltron/algo/sort/kiss1_core.hpp:244-267,
+include/command/suffix_sort.hpp:57-61). We reproduce the same stage names
+and log shape so timings are directly comparable, with
+``block_until_ready`` barriers so device time is actually measured.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import sys
+import time
+
+_LOGGER = logging.getLogger("kiss_tpu")
+
+
+def setup_logging(verbose: bool = False) -> None:
+    """Configure spdlog-style stderr logging.
+
+    (reference: include/utils/options.hpp:266-270 -- default stderr color
+    sink; ``--verbose`` lowers the level to debug.)
+    """
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setFormatter(
+        logging.Formatter(
+            "[%(asctime)s.%(msecs)03d] [%(levelname)s] %(message)s",
+            datefmt="%Y-%m-%d %H:%M:%S",
+        )
+    )
+    _LOGGER.handlers[:] = [handler]
+    _LOGGER.setLevel(logging.DEBUG if verbose else logging.INFO)
+
+
+def log_info(msg: str, *args) -> None:
+    _LOGGER.info(msg, *args)
+
+
+def log_debug(msg: str, *args) -> None:
+    _LOGGER.debug(msg, *args)
+
+
+class Stopwatch:
+    """Elapsed-seconds stopwatch (reference: spdlog::stopwatch)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self._t0
+
+    def __format__(self, spec: str) -> str:
+        return format(self.elapsed(), spec or ".6f")
+
+    def __str__(self) -> str:
+        return f"{self.elapsed():.6f}"
+
+
+@contextlib.contextmanager
+def stage(name: str, *, block_on=None):
+    """Log ``<name> elapsed <seconds>`` at debug level on exit, after
+    blocking on any pending device work handed in via ``block_on``."""
+    sw = Stopwatch()
+    result = {}
+    try:
+        yield result
+    finally:
+        pending = result.get("block_on", block_on)
+        if pending is not None:
+            import jax
+
+            jax.block_until_ready(pending)
+        _LOGGER.debug("%s elapsed %.6f", name, sw.elapsed())

@@ -1,0 +1,149 @@
+"""FM-index conformance tests.
+
+The reference has NO FM-index tests (SURVEY.md section 4); these check
+build/query/serialize against brute force and against an independent
+numpy emulation of the reference data-structure layout.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from kiss_tpu.models.fm_index import FMIndex
+from kiss_tpu.ops.suffix_sort import Kiss1Sorter
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def built():
+    text = oracle.random_dna(30_000, seed=42)
+    fmi = FMIndex(sa_intv=4, lookup_len=0).build(text)
+    return text, fmi
+
+
+def test_cnt_and_bwt(built):
+    text, fmi = built
+    n = len(text)
+    sa = np.asarray(Kiss1Sorter.get_suffix_array_dna(text, 32)).astype(np.int64)
+    # cnt[c] = 1 + #chars < c (reference: fm_index.hpp:303-307)
+    totals = np.bincount(text, minlength=4)
+    want_cnt = 1 + np.concatenate([[0], np.cumsum(totals)[:-1]])
+    np.testing.assert_array_equal(np.asarray(fmi.arrays.cnt), want_cnt)
+    # bwt[i] = text[sa[i]-1], 0 at sentinel row
+    bwt_words = np.asarray(fmi.arrays.bwt_words)
+    got_bwt = (
+        bwt_words[np.arange(n + 1) // 16] >> (2 * (np.arange(n + 1) % 16))
+    ) & 3
+    want_bwt = np.where(sa == 0, 0, text[np.maximum(sa - 1, 0)])
+    np.testing.assert_array_equal(got_bwt, want_bwt)
+    assert int(fmi.arrays.pri) == int(np.nonzero(sa == 0)[0][0])
+
+
+@pytest.mark.parametrize("qlen", [1, 5, 11, 20])
+def test_count_and_locate_vs_bruteforce(built, qlen):
+    text, fmi = built
+    rng = np.random.default_rng(qlen)
+    # half sampled from the text (guaranteed hits), half random
+    queries = []
+    for _ in range(30):
+        p = int(rng.integers(0, len(text) - qlen))
+        queries.append(text[p : p + qlen])
+    for _ in range(30):
+        queries.append(rng.integers(0, 4, qlen).astype(np.int8))
+    queries = np.stack(queries)
+
+    lens, positions, starts = fmi.batch_query(queries)
+    for qi in range(len(queries)):
+        want = oracle.search_all(text, queries[qi])
+        got = np.sort(positions[starts[qi] : starts[qi + 1]])
+        assert lens[qi] == len(want), f"count mismatch for query {qi}"
+        np.testing.assert_array_equal(got, np.sort(want))
+
+
+def test_single_query_interface(built):
+    text, fmi = built
+    q = text[1234 : 1234 + 15]
+    beg, end, offs = fmi.get_range(q)
+    assert offs == 0
+    hits = fmi.get_offsets(beg, end)
+    want = oracle.search_all(text, q)
+    np.testing.assert_array_equal(np.sort(hits), np.sort(want))
+
+
+def test_absent_pattern(built):
+    text, fmi = built
+    # a pattern absent from the text: count 0, no positions
+    q = np.array([0, 1, 2, 3] * 6, dtype=np.int8)
+    while len(oracle.search_all(text, q)):
+        q = np.roll(q, 1)
+        q[0] = 3
+    beg, end, _ = fmi.get_range(q)
+    assert beg == end
+    assert len(fmi.get_offsets(beg, end)) == 0
+
+
+def test_save_load_roundtrip(built):
+    text, fmi = built
+    buf = io.BytesIO()
+    fmi.save(buf)
+    raw = buf.getvalue()
+
+    fmi2 = FMIndex(sa_intv=4, lookup_len=0).load(io.BytesIO(raw))
+    assert fmi2 == fmi
+    # query equivalence through the loaded index
+    q = text[777 : 777 + 12]
+    assert fmi2.get_range(q) == fmi.get_range(q)
+
+    # re-serialization is byte-identical
+    buf2 = io.BytesIO()
+    fmi2.save(buf2)
+    assert buf2.getvalue() == raw
+
+
+def test_fmi_layout_sizes(built):
+    """Validate the archive against the reference's exact byte layout
+    (reference: fm_index.hpp:591-615, serializer.hpp:94-109)."""
+    text, fmi = built
+    N = len(text) + 1
+    buf = io.BytesIO()
+    fmi.save(buf)
+    raw = buf.getvalue()
+    expect = 16 + 4  # cnt_ + pri_
+    expect += 8 + (N + 3) // 4  # bwt: size_t + ceil(N/4) bytes
+    expect += 8 + (N // 256 + 1) * 16  # occ1
+    expect += 8 + (N // 16 + 1) * 4  # occ2
+    expect += 8 + ((N + 3) // 4) * 4  # sampled sa
+    expect += 8 + 2 * 4  # lookup (LOOKUP_LEN=0 -> [0, N])
+    expect += 8 + ((N + 63) // 64) * 8  # b_
+    expect += 8 + (N // 64 + 1) * 4  # b_occ_
+    assert len(raw) == expect
+
+
+def test_lookup_table():
+    text = oracle.random_dna(5_000, seed=7)
+    fmi = FMIndex(sa_intv=4, lookup_len=4).build(text)
+    lut = np.asarray(fmi.arrays.lookup)
+    assert lut.shape[0] == 4**4 + 1
+    assert (np.diff(lut) >= 0).all()  # reference asserts sorted
+    # lookup-seeded search must agree with seedless search
+    plain = FMIndex(sa_intv=4, lookup_len=0).build(text)
+    rng = np.random.default_rng(0)
+    queries = rng.integers(0, 4, (50, 9)).astype(np.int8)
+    np.testing.assert_array_equal(
+        fmi.get_ranges(queries)[0], plain.get_ranges(queries)[0]
+    )
+    np.testing.assert_array_equal(
+        fmi.get_ranges(queries)[1], plain.get_ranges(queries)[1]
+    )
+
+
+def test_sa_intv_1():
+    text = oracle.random_dna(3_000, seed=3)
+    fmi = FMIndex(sa_intv=1, lookup_len=0).build(text)
+    q = text[100:112]
+    beg, end, offs = fmi.get_range(q)
+    hits = fmi.get_offsets(beg, end)
+    np.testing.assert_array_equal(
+        np.sort(hits), np.sort(oracle.search_all(text, q))
+    )

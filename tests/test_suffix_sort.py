@@ -1,0 +1,107 @@
+"""Conformance tests for the k-ordered suffix sorter.
+
+Modeled on the reference test strategy (reference: tests/kiss.cpp:11-165 --
+property tests over random DNA/general texts at k=256) but strengthened to
+exact-equality checks against a brute-force oracle, as the reference's
+property oracle does not pin down tie-breaks or the permutation property.
+"""
+
+import numpy as np
+import pytest
+
+from kiss_tpu.ops import pack
+from kiss_tpu.ops.suffix_sort import (
+    Kiss1Sorter,
+    Kiss2Sorter,
+    k_ordered_suffix_array,
+)
+from tests import oracle
+
+
+def _check_exact(text, k, alphabet=pack.DNA):
+    got = k_ordered_suffix_array(text, k, alphabet)
+    want = oracle.k_ordered_sa(text, None if k == -1 else k)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [1, 4, 16, 17, 31, 32, 56, 100, 256, -1])
+def test_random_dna_exact(k):
+    text = oracle.random_dna(4003, seed=k + 7)
+    _check_exact(text, k)
+
+
+@pytest.mark.parametrize("k", [16, 50, 100, 256, -1])
+def test_repeat_heavy_exact(k):
+    # tandem repeats: many suffixes share >= 256-char prefixes, so the
+    # exact-k cut and position tie-break actually matter here
+    text = oracle.repeat_heavy_dna(3000, unit=37, seed=3)
+    _check_exact(text, k)
+
+
+def test_all_same_char():
+    text = np.zeros(500, dtype=np.int8)  # "AAAA..."; every pair ties
+    # unbounded: shorter suffix first => SA = [500, 499, ..., 0]
+    got = k_ordered_suffix_array(text, -1)
+    np.testing.assert_array_equal(got, np.arange(500, -1, -1))
+    # bounded k: suffixes shorter than k sort by length, the rest all tie
+    # on k 'A's and fall back to position order
+    for k in (8, 256):
+        _check_exact(text, k)
+
+
+def test_exact_k_cut_tiebreak():
+    # two suffixes equal in the first k chars but differing later must be
+    # ordered by position, not by the later characters
+    unit = np.array([0, 1, 2, 3] * 8, dtype=np.int8)  # 32-periodic
+    text = np.concatenate([np.tile(unit, 6), np.array([3, 3, 3], np.int8)])
+    for k in (32, 64, 96):
+        _check_exact(text, k)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 5, 15, 16, 17, 63])
+def test_tiny_texts(n):
+    text = oracle.random_dna(n, seed=n)
+    for k in (4, 256, -1):
+        _check_exact(text, k)
+
+
+def test_sentinel_first():
+    text = oracle.random_dna(1000, seed=1)
+    sa = k_ordered_suffix_array(text, 256)
+    assert sa[0] == 1000  # reference: SA[0] = n (kiss_common.hpp:479)
+
+
+@pytest.mark.parametrize("sorter", [Kiss1Sorter, Kiss2Sorter])
+def test_sorter_facades_dna(sorter):
+    # mirrors reference tests/kiss.cpp "kISS-{1,2} DNA": random text,
+    # k=256, property check
+    text = oracle.random_dna(150_000, seed=11)
+    ref = sorter.prepare_aligned_ref(text)
+    sa = sorter.get_suffix_array_dna(ref, 256, 24)
+    assert sa.dtype == np.uint32
+    want = oracle.k_ordered_sa(text, 256)
+    np.testing.assert_array_equal(sa, want)
+
+
+@pytest.mark.parametrize("sorter", [Kiss1Sorter, Kiss2Sorter])
+def test_sorter_facades_general(sorter):
+    # mirrors reference tests/kiss.cpp "kISS-{1,2} general": bytes
+    # 'a'..'d' (values 97..100), exercising the sigma=256 packing
+    rng = np.random.default_rng(5)
+    text = rng.integers(97, 101, 50_000).astype(np.int8)
+    sa = sorter.get_suffix_array(text, 256, 24)
+    want = oracle.k_ordered_sa(text.view(np.uint8).astype(np.int16), 256)
+    np.testing.assert_array_equal(sa, want)
+
+
+def test_general_full_byte_alphabet():
+    rng = np.random.default_rng(9)
+    text = rng.integers(0, 256, 20_000).astype(np.uint8).view(np.int8)
+    sa = Kiss1Sorter.get_suffix_array(text, 100)
+    want = oracle.k_ordered_sa(text.view(np.uint8).astype(np.int16), 100)
+    np.testing.assert_array_equal(sa, want)
+
+
+def test_genome_like_medium():
+    text = oracle.genome_like_dna(200_000, ancestral=1 << 14, seed=2)
+    _check_exact(text, 256)
