@@ -65,19 +65,41 @@ def parse_fasta(src) -> list[FastaRecord]:
 
 
 def read_sequence(src) -> np.ndarray:
-    """Read a FASTA or plain-text file into one concatenated istring.
+    """Read a FASTA, FASTQ, or plain-text file into one concatenated
+    istring.
 
     Mirrors the reference dispatch on the first byte
     (reference: include/utils/io.hpp:6-18): '>' selects FASTA mode (all
-    records concatenated), anything else treats each line as sequence.
+    records concatenated), anything else treats each line as sequence;
+    '@' additionally selects FASTQ (reference: fasta.hpp:119-176
+    FastqRecord). Gzip input (magic 1f 8b) is transparently decompressed
+    (reference vendors gzstream for this, utility/archive/gzstream.hpp).
     Returns an int8 array with values 0..4.
+
+    The parse runs through the native C++ library when available
+    (csrc/kiss_io.cpp) with a pure-numpy fallback.
     """
     data = _read_bytes(src)
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
+
+    from kiss_tpu.utils import native
+
+    out = native.parse_sequence(data)
+    if out is not None:
+        return out
+
     if data[:1] == b">":
         parts = [r.seq for r in parse_fasta(data)]
         if not parts:
             return np.empty(0, dtype=np.int8)
         return np.concatenate(parts)
+    if data[:1] == b"@":  # FASTQ: 4-line records, line 2 is the read
+        lines = data.split(b"\n")
+        seqs = [lines[i] for i in range(1, len(lines), 4)]
+        return codec.to_istring(b"".join(s.strip() for s in seqs))
     # text mode: strip newlines, encode everything else
     lines = [ln.strip() for ln in data.split(b"\n")]
     return codec.to_istring(b"".join(lines))

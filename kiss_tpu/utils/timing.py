@@ -62,10 +62,27 @@ class Stopwatch:
         return f"{self.elapsed():.6f}"
 
 
+def sync(x) -> None:
+    """Force completion of the device computation producing ``x``.
+
+    ``jax.block_until_ready`` does not reliably block on the tunneled
+    TPU platform, so we additionally fetch one scalar: a device->host
+    read cannot complete before the producing computation has run.
+    """
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(x)
+    for leaf in jax.tree.leaves(x):
+        if hasattr(leaf, "addressable_shards") and leaf.size:
+            np.asarray(leaf.reshape(-1)[:1])
+            break
+
+
 @contextlib.contextmanager
 def stage(name: str, *, block_on=None):
     """Log ``<name> elapsed <seconds>`` at debug level on exit, after
-    blocking on any pending device work handed in via ``block_on``."""
+    syncing on any pending device work handed in via ``block_on``."""
     sw = Stopwatch()
     result = {}
     try:
@@ -73,7 +90,5 @@ def stage(name: str, *, block_on=None):
     finally:
         pending = result.get("block_on", block_on)
         if pending is not None:
-            import jax
-
-            jax.block_until_ready(pending)
+            sync(pending)
         _LOGGER.debug("%s elapsed %.6f", name, sw.elapsed())
