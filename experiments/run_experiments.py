@@ -1,0 +1,87 @@
+"""Benchmark sweep harness, mirroring the reference experiment protocol.
+
+The reference drives its paper figures with shell scripts that sweep
+k at fixed threads and threads at fixed k, 3 repeats, CSV rows
+``algo,test,k,num-threads,time,space``
+(reference: experiment/experiment_a.sh:10-39, experiment_b.sh:10-39).
+This harness produces the same CSV shape for the TPU build: "threads"
+is reported as the device count (the TPU parallelism knob), "space" as
+peak device memory when the platform exposes it (else 0).
+
+Usage:
+    python experiments/run_experiments.py --n 48800648 --out results.csv
+    python experiments/run_experiments.py --quick   # small smoke sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def device_peak_bytes():
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("peak_bytes_in_use", 0))
+    except Exception:
+        return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=48_800_648)
+    ap.add_argument("--out", default="experiments/results.csv")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--ks", default="2,4,8,16,32,64,128,256,-1",
+        help="comma-separated k values (-1 = unbounded)",
+    )
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.n = min(args.n, 1_000_000)
+        args.ks = "16,256,-1"
+        args.repeats = 1
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import synth_genome
+    from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array
+    from kiss_tpu.utils import timing
+
+    test_name = f"synth{args.n}"
+    n_devices = len(jax.devices())
+    text = jax.device_put(jnp.asarray(synth_genome(args.n)))
+    timing.sync(text)
+
+    rows = []
+    for k in (int(x) for x in args.ks.split(",")):
+        # warm (compile all round variants for this k)
+        timing.sync(k_ordered_suffix_array(text, k, as_numpy=False))
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            sa = k_ordered_suffix_array(text, k, as_numpy=False)
+            timing.sync(sa)
+            dt = time.perf_counter() - t0
+            rows.append(
+                ["kiss-tpu", test_name, k, n_devices, f"{dt:.4f}",
+                 device_peak_bytes()]
+            )
+            print(",".join(str(x) for x in rows[-1]), flush=True)
+
+    with open(args.out, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["algo", "test", "k", "num-threads", "time", "space"])
+        w.writerows(rows)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -360,6 +360,21 @@ class FMIndex:
         walk."""
         return self.locate_rows(np.arange(beg, end, dtype=np.int32))
 
+    def get_offsets_traditional(self, beg: int, end: int) -> np.ndarray:
+        """Alias of :meth:`get_offsets` for API parity: the reference's
+        "traditional" per-row LF walk (fm_index.hpp:435-447) IS the
+        data-parallel formulation we use everywhere."""
+        return self.get_offsets(beg, end)
+
+    def fmtree(self, seed: np.ndarray) -> np.ndarray:
+        """Locate by first searching seed[1:] then extending by the first
+        character (reference: fm_index.hpp:503-551). With the vectorized
+        locate the staging is unnecessary, but the entry point and result
+        set match the reference method."""
+        seed = np.asarray(seed, dtype=np.int8)
+        beg, end, _ = self.get_range(seed)
+        return self.get_offsets(beg, end)
+
     def batch_query(self, queries: np.ndarray):
         """Count + locate a batch of equal-length patterns.
 

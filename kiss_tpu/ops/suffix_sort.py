@@ -12,36 +12,34 @@ cursors, comparison sorts -- that do not map to a TPU.
 This module re-expresses the same *problem* (sort every suffix by its
 first k characters, ties broken by text position, sentinel/empty suffix
 first -- reference semantics: kiss1_core.hpp:94-135 comparator, ties at
->= k chars resolved by ``i < j``) in the TPU-native dataflow idiom:
+>= k chars resolved by ``i < j``) in a TPU-native dataflow built almost
+entirely from stable whole-array sorts and shifted slices -- NO random
+gathers or scatters, which on TPU cost 3-10x what a sort pass does:
 
-  1. Seed: pack the first 32 characters of every suffix into big-endian
-     integer words (:mod:`kiss_tpu.ops.pack`) and run ONE stable
-     multi-key ``lax.sort`` over all n+1 suffixes. Stability over
+  1. Seed: pack the first 32 characters of every suffix into four
+     big-endian integer words (:mod:`kiss_tpu.ops.pack`) and run ONE
+     stable multi-key ``lax.sort`` over all n+1 suffixes. Stability over
      position-major operands gives the ``i < j`` tie rule for free.
   2. Rank: group heads by compare-adjacent + ``cummax`` segmented scan;
      the position-major rank array is rebuilt by sorting (sa, rank) by
-     sa -- a stable sort is ~1.5x faster than XLA's random scatter at
-     this scale, and ``rank[p+offset]`` lookups are pure shifted slices
-     (no gather) because rank is position-major.
-  3. Refine (prefix doubling on the ACTIVE SET): only suffixes in
-     unresolved tie groups are re-sorted. The active rows are compacted
-     to a power-of-two capacity (this is kISS-2's ``compact`` step,
-     reference: kiss2_core.hpp:464-536, as dataflow); each round stably
-     sorts (rank, rank@+offset, position) for the compacted set and
-     scatters results back into the suffix array rows it came from.
-     Coverage doubles per round; the loop is host-driven off the active
-     count (one scalar device->host sync per round).
-  4. Exact-k landing: when k is not seed*2^t, a final compacted
-     multi-key sort combines saved rank levels along the greedy binary
-     decomposition of k (e.g. k=100 = 64 + 32 + 4: keys rank64[p],
-     rank32[p+64], word4[p+96]), so ties beyond exactly k characters are
-     *not* used -- matching the kISS-1 comparator's exact-k cut rather
-     than kISS-2's power-of-two overshoot.
+     sa (a stable sort beats XLA's random scatter at this scale).
+  3. Rank-block sort: because every rank key covers the SAME block
+     length L, lexicographic order of (rank_L[p], rank_L[p+L],
+     rank_L[p+2L], ...) IS the order of the concatenated blocks -- and
+     in position-major layout each rank_L[p+jL] operand is a pure
+     shifted slice. One stable (k/L)-key sort therefore lands exactly on
+     k characters: k=256 is seed(32) + rank rebuild + one 8-key sort.
+     This generalizes kISS-2's prefix doubling (a chain of 2-key rank
+     sorts) to a single wide sort with zero random memory traffic.
+  4. Exact-k remainders smaller than a full block are closed with saved
+     rank levels (greedy decomposition) and raw packed words, so ties
+     beyond exactly k characters are never consulted -- matching the
+     kISS-1 comparator's exact-k cut, not kISS-2's power-of-two
+     overshoot.
 
-A fully-jitted single-program variant
-(:func:`k_ordered_suffix_array_device`) is kept for embedding inside
-larger jitted/SPMD programs (FM-index build fusion, sharded pipelines);
-the host-driven variant is the fast path for the public API.
+Bounded k compiles to ONE static XLA program (shardable under GSPMD);
+unbounded (-1) runs the same wide sort in a short host-driven loop with
+an all-singleton early exit (coverage multiplies by 8 per round).
 """
 
 from __future__ import annotations
@@ -58,6 +56,7 @@ from kiss_tpu.ops import pack
 from kiss_tpu.utils import timing
 
 SEED_WORDS = 4  # 32 chars for DNA, 12 for the general alphabet
+MAX_RANK_KEYS = 8  # widest rank-block sort; coverage multiplies by this
 
 
 # ---------------------------------------------------------------------------
@@ -66,54 +65,93 @@ SEED_WORDS = 4  # 32 chars for DNA, 12 for the general alphabet
 
 
 @dataclass(frozen=True)
-class _SortPlan:
-    """Static (python-time) schedule for one (n, k, alphabet) instance."""
+class _Round:
+    # each round sorts by [rank_lv at offset] keys then raw tail words
+    rank_keys: tuple[tuple[int, int], ...]  # (level_chars, char_offset)
+    tail_chars: int  # raw-word chars at tail_offset (< seed)
+    tail_offset: int
+    new_cover: int  # characters covered after this round
 
-    seed_chars: int  # characters covered by the initial sort
-    doublings: int  # number of rank-doubling rounds
-    decomp: tuple[int, ...]  # saved rank levels used by the final combine
-    tail_chars: int  # raw-word characters closing the gap to exactly k
+
+@dataclass(frozen=True)
+class _SortPlan:
+    seed_chars: int
+    rounds: tuple[_Round, ...]
     unbounded: bool
 
     @property
     def save_levels(self) -> frozenset[int]:
-        return frozenset(self.decomp)
+        lvls = set()
+        for r in self.rounds:
+            lvls.update(lv for lv, _ in r.rank_keys)
+        return frozenset(lvls)
+
+
+def _decompose(target: int, levels: list[int], seed: int):
+    """Greedy cover of ``target`` chars: full blocks of the largest
+    levels first, then a raw-word tail smaller than the seed."""
+    keys = []
+    off = 0
+    rem = target
+    for lv in sorted(levels, reverse=True):
+        while lv <= rem and len(keys) < 3 * MAX_RANK_KEYS:
+            keys.append((lv, off))
+            off += lv
+            rem -= lv
+    assert rem < seed, (target, levels, rem)
+    return keys, rem, off
 
 
 def _make_plan(n: int, k: int | None, alphabet: pack.Alphabet) -> _SortPlan:
     seed_max = SEED_WORDS * alphabet.chars_per_word
-    if k is None or k < 0 or k > n:
+    unbounded = k is None or k < 0 or k > n
+    if unbounded:
         # comparing n characters fully distinguishes all suffixes
-        # (reference: k = -1 wraps to SIZE_MAX, README.md:56)
-        doublings = 0
+        # (reference: k = -1 wraps to SIZE_MAX, README.md:56); rounds of
+        # MAX_RANK_KEYS full blocks until the early exit fires
+        rounds = []
         cover = seed_max
         while cover < n:
-            cover *= 2
-            doublings += 1
-        return _SortPlan(seed_max, doublings, (), 0, True)
+            rounds.append(
+                _Round(
+                    tuple((cover, j * cover) for j in range(MAX_RANK_KEYS)),
+                    0,
+                    0,
+                    cover * MAX_RANK_KEYS,
+                )
+            )
+            cover *= MAX_RANK_KEYS
+        return _SortPlan(seed_max, tuple(rounds), True)
 
     if k <= seed_max:
-        return _SortPlan(max(k, 1), 0, (), 0, False)
+        return _SortPlan(max(k, 1), (), False)
 
-    seed = seed_max
-    levels = [seed]
-    cover = seed
-    while 2 * cover <= k:
-        cover *= 2
-        levels.append(cover)
-    rem = k - cover
-    # greedy binary decomposition of the remainder over available levels
-    decomp = []
-    for lv in reversed(levels[:-1]):
-        if lv <= rem:
-            decomp.append(lv)
-            rem -= lv
-    assert rem < seed
-    return _SortPlan(seed, len(levels) - 1, tuple(decomp), rem, False)
+    rounds = []
+    levels = [seed_max]
+    cover = seed_max
+    while cover < k:
+        # how far can one round reach with full blocks of known levels?
+        reach = cover * MAX_RANK_KEYS
+        if reach >= k:
+            keys, tail, off = _decompose(k, levels, seed_max)
+            rounds.append(_Round(tuple(keys), tail, off, k))
+            cover = k
+        else:
+            rounds.append(
+                _Round(
+                    tuple((cover, j * cover) for j in range(MAX_RANK_KEYS)),
+                    0,
+                    0,
+                    reach,
+                )
+            )
+            levels.append(reach)
+            cover = reach
+    return _SortPlan(seed_max, tuple(rounds), False)
 
 
 # ---------------------------------------------------------------------------
-# shared device helpers
+# device helpers
 # ---------------------------------------------------------------------------
 
 
@@ -125,127 +163,129 @@ def _neq_adjacent(sorted_keys) -> jnp.ndarray:
     return neq.at[0].set(True)
 
 
-def _rank_shift(rank: jnp.ndarray, offset) -> jnp.ndarray:
+def _rank_shift(rank: jnp.ndarray, offset: int) -> jnp.ndarray:
     """Position-major lookup rank[p+offset] with 0 past the end, as a
-    dynamic slice of the padded array -- no gather. ``offset`` may be a
-    traced scalar. (Past-end compares smallest: the reference's
-    ``get_key`` returns 0 there, kiss2_core.hpp:102-111.)"""
+    pure slice+pad -- no gather. (Past-end compares smallest: the
+    reference's ``get_key`` returns 0 there, kiss2_core.hpp:102-111.)"""
+    if offset == 0:
+        return rank
     N = rank.shape[0]
-    padded = jnp.concatenate([rank, jnp.zeros(N, rank.dtype)])
-    return lax.dynamic_slice(padded, (offset,), (N,))
+    off = min(offset, N)
+    return jnp.concatenate([rank[off:], jnp.zeros(off, rank.dtype)])
 
 
 def _rank_by_position(sa: jnp.ndarray, rank_sorted: jnp.ndarray):
     """Invert the sorted-order rank to position-major by sorting
-    (sa, rank) on sa: for a permutation this equals the scatter
-    rank[sa] = rank_sorted but runs ~1.5x faster than XLA's scatter."""
+    (sa, rank) by sa: for a permutation this equals the scatter
+    rank[sa] = rank_sorted but avoids XLA's slow random scatter."""
     _, rank = lax.sort((sa, rank_sorted), num_keys=1, is_stable=False)
     return rank
 
 
-# ---------------------------------------------------------------------------
-# host-driven fast path
-# ---------------------------------------------------------------------------
-
-
-@partial(jax.jit, static_argnames=("seed_chars", "alphabet"))
-def _seed_sort(text: jnp.ndarray, seed_chars: int, alphabet: pack.Alphabet):
-    """Full-array seed sort by the first ``seed_chars`` characters.
-
-    Returns (sa, rank, active, m): suffix order, position-major group
-    ranks, per-row unresolved flags, and the unresolved count.
-    """
-    n = text.shape[0]
-    N = n + 1
+def _ranks_of_sorted(sorted_keys, sa):
+    """(position-major rank, all-singleton flag) from a sorted key set."""
+    N = sa.shape[0]
     pos = jnp.arange(N, dtype=jnp.int32)
+    neq = _neq_adjacent(sorted_keys)
+    head = lax.cummax(jnp.where(neq, pos, 0))
+    rank = _rank_by_position(sa, head + 1)
+    nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
+    done = jnp.all(neq & nxt)
+    return rank, done
+
+
+def _round_keys(rnd: _Round, ranks: dict, text, alphabet):
+    keys = [_rank_shift(ranks[lv], off) for lv, off in rnd.rank_keys]
+    if rnd.tail_chars:
+        keys.extend(
+            pack.suffix_key_words(
+                text, rnd.tail_chars, rnd.tail_offset, alphabet
+            )
+        )
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# jitted cores
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("seed_chars", "alphabet", "with_rank"))
+def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool):
+    """Stable sort of all n+1 suffixes by the first ``seed_chars``
+    characters. Returns (sa, rank, done); rank/done are dummies when
+    ``with_rank`` is False (i.e. the seed alone covers k)."""
+    n = text.shape[0]
+    pos = jnp.arange(n + 1, dtype=jnp.int32)
     words = pack.suffix_key_words(text, seed_chars, 0, alphabet)
     ops = lax.sort(tuple(words) + (pos,), num_keys=len(words), is_stable=True)
     sa = ops[-1]
-    neq = _neq_adjacent(ops[:-1])
-    head = lax.cummax(jnp.where(neq, pos, 0))
-    rank = _rank_by_position(sa, head + 1)
-    # active rows: any member of a group of size >= 2
-    nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
-    active = ~(neq & nxt)
-    return sa, rank, active, jnp.sum(active, dtype=jnp.int32)
+    if not with_rank:
+        return sa, sa, jnp.bool_(True)
+    rank, done = _ranks_of_sorted(ops[:-1], sa)
+    return sa, rank, done
 
 
-@partial(jax.jit, static_argnames=("capacity",))
-def _compact_rows(active: jnp.ndarray, capacity: int):
-    """Row indices of active suffixes, ascending, zero-filled to a static
-    capacity (the dataflow form of kISS-2's compact,
-    reference: kiss2_core.hpp:464-536)."""
-    (rows,) = jnp.nonzero(active, size=capacity, fill_value=0)
-    return rows.astype(jnp.int32)
-
-
-def _gather_at_offset(arr: jnp.ndarray, p: jnp.ndarray, offset) -> jnp.ndarray:
-    """arr[p + offset] with 0 past the end (compacted-set variant of
-    :func:`_rank_shift`: a small gather instead of a full-size shift)."""
-    n = arr.shape[0] - 1
-    q = p + offset
-    return jnp.where(q <= n, arr[jnp.minimum(q, n)], 0)
-
-
-@partial(jax.jit, donate_argnames=("sa", "rank"))
-def _refine_round(sa, rank, rows, offset):
-    """One active-set prefix-doubling round: re-sort the compacted
-    unresolved suffixes by (rank, rank@+offset, position) and write the
-    new order back into their own suffix-array rows.
-
-    Fill entries (rows == 0) alias the sentinel row: its rank 1 is the
-    global minimum so they sort to the front as a block, scatter the
-    unchanged sentinel back to row 0, and never perturb real groups.
-
-    Returns (sa, rank, rows_next, m_next): rows_next has the same
-    capacity with still-active rows first (ascending), zero-filled.
-    """
-    n = sa.shape[0] - 1
-    p = sa[rows]
-    key1 = rank[p]
-    key2 = _gather_at_offset(rank, p, offset)
-    k1s, k2s, ps = lax.sort((key1, key2, p), num_keys=2, is_stable=True)
-    trows = jnp.sort(rows)
-    sa = sa.at[trows].set(ps)
-
-    m = rows.shape[0]
-    neq = _neq_adjacent((k1s, k2s))
-    head = lax.cummax(jnp.where(neq, trows, 0))
-    is_fill = ps == n
-    rank = rank.at[ps].set(jnp.where(is_fill, 1, head + 1))
-
-    nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
-    still = ~(neq & nxt) & ~is_fill
-    (keep,) = jnp.nonzero(still, size=m, fill_value=-1)
-    rows_next = jnp.where(keep >= 0, trows[jnp.maximum(keep, 0)], 0)
-    return sa, rank, rows_next.astype(jnp.int32), jnp.sum(still, dtype=jnp.int32)
-
-
-@partial(jax.jit, static_argnames=("n_rank_keys", "tail_chars", "alphabet"),
-         donate_argnames=("sa",))
-def _landing_round(sa, rank_levels, offsets, rows, text, n_rank_keys,
-                   tail_chars, alphabet, tail_offset):
-    """Final exact-k combine on the compacted active set: stable sort by
-    the decomposition keys (saved rank levels at their char offsets, then
-    raw packed words for the sub-seed tail) and write back. Fill entries
-    behave as in :func:`_refine_round`."""
-    p = sa[rows]
-    keys = [
-        _gather_at_offset(rank_levels[i], p, offsets[i])
-        for i in range(n_rank_keys)
-    ]
+@partial(
+    jax.jit,
+    static_argnames=("rank_key_spec", "tail_chars", "tail_offset",
+                     "alphabet", "with_rank", "level_ids"),
+)
+def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
+                     tail_chars, tail_offset, alphabet, with_rank: bool):
+    """One wide stable sort by shifted rank-level keys (+ optional raw
+    tail words). ``rank_arrays`` is a tuple aligned with ``level_ids``;
+    ``rank_key_spec`` is ((level, offset), ...)."""
+    n = text.shape[0]
+    pos = jnp.arange(n + 1, dtype=jnp.int32)
+    ranks = dict(zip(level_ids, rank_arrays))
+    keys = [_rank_shift(ranks[lv], off) for lv, off in rank_key_spec]
     if tail_chars:
-        for w in pack.suffix_key_words(text, tail_chars, 0, alphabet):
-            keys.append(_gather_at_offset(w, p, tail_offset))
-    ops = lax.sort(tuple(keys) + (p,), num_keys=len(keys), is_stable=True)
-    return sa.at[jnp.sort(rows)].set(ops[-1])
+        keys.extend(
+            pack.suffix_key_words(text, tail_chars, tail_offset, alphabet)
+        )
+    ops = lax.sort(tuple(keys) + (pos,), num_keys=len(keys), is_stable=True)
+    sa = ops[-1]
+    if not with_rank:
+        return sa, sa, jnp.bool_(True)
+    rank, done = _ranks_of_sorted(ops[:-1], sa)
+    return sa, rank, done
 
 
-def _next_capacity(m: int, cap: int) -> int:
-    c = 1024
-    while c < m:
-        c *= 2
-    return min(c, cap)
+def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool):
+    """Shared driver for the host path (early exits via host sync) and
+    the fully-jitted path (early exits via lax.cond)."""
+    nrounds = len(plan.rounds)
+    sa, rank, done = _seed_sort(
+        text, plan.seed_chars, alphabet, nrounds > 0
+    )
+    if nrounds == 0:
+        return sa
+
+    ranks = {plan.seed_chars: rank}
+    for i, rnd in enumerate(plan.rounds):
+        is_last = i == nrounds - 1
+        need_rank = (not is_last) or plan.unbounded
+        if not jittable and bool(done):
+            break
+        level_ids = tuple(sorted(ranks))
+        rank_arrays = tuple(ranks[lv] for lv in level_ids)
+        args = (
+            text, rank_arrays, level_ids, rnd.rank_keys, rnd.tail_chars,
+            rnd.tail_offset, alphabet, need_rank,
+        )
+        if jittable:
+            # skip the round entirely when already fully resolved
+            sa, rank, done = lax.cond(
+                done,
+                lambda sa=sa, rank=rank, done=done: (sa, rank, done),
+                lambda args=args: _rank_block_sort(*args),
+            )
+        else:
+            sa, rank, done = _rank_block_sort(*args)
+        if need_rank:
+            ranks[rnd.new_cover] = rank
+    return sa
 
 
 def k_ordered_suffix_array(
@@ -256,7 +296,8 @@ def k_ordered_suffix_array(
     Ordering contract (reference: kiss1_core.hpp:94-135): suffixes sorted
     by first k characters; a suffix that ends within k characters sorts
     before any longer suffix sharing its prefix; full-k ties broken by
-    ascending text position; SA[0] = n.
+    ascending text position; SA[0] = n (sentinel, reference:
+    kiss_common.hpp:479).
 
     ``as_numpy=False`` leaves the result on device (callers composing
     with further device work should prefer this; device->host transfer
@@ -268,143 +309,28 @@ def k_ordered_suffix_array(
     if n == 0:
         sa0 = np.zeros(1, dtype=np.uint32)
         return sa0 if as_numpy else jnp.asarray(sa0)
-    k = _normalize_k(k)
-    plan = _make_plan(n, k, alphabet)
-    N = n + 1
+    plan = _make_plan(n, _normalize_k(k), alphabet)
 
     with timing.stage("k_ordered_suffix_array") as out:
         text = jnp.asarray(ref)
-        sa, rank, active, m_dev = _seed_sort(text, plan.seed_chars, alphabet)
-        m = int(m_dev)
-
-        saved = {}
-        cover = plan.seed_chars
-        if cover in plan.save_levels:
-            saved[cover] = jnp.copy(rank)  # rank buffers are donated below
-        if m > 0 and (plan.doublings or plan.decomp or plan.tail_chars):
-            rows = _compact_rows(active, _next_capacity(m, N))
-            for _ in range(plan.doublings):
-                if m > 0:
-                    ncap = _next_capacity(m, N)
-                    if ncap < rows.shape[0]:
-                        rows = rows[:ncap]
-                    sa, rank, rows, m_dev = _refine_round(
-                        sa, rank, rows, jnp.int32(cover)
-                    )
-                    m = int(m_dev)
-                cover *= 2
-                if cover in plan.save_levels:
-                    saved[cover] = jnp.copy(rank)
-
-            if m > 0 and (plan.decomp or plan.tail_chars):
-                ncap = _next_capacity(m, N)
-                if ncap < rows.shape[0]:
-                    rows = rows[:ncap]
-                # key i applies at the char offset where previous keys end
-                levels, offs = [rank], [0]
-                off = cover
-                for lv in plan.decomp:
-                    levels.append(saved[lv])
-                    offs.append(off)
-                    off += lv
-                sa = _landing_round(
-                    sa,
-                    tuple(levels),
-                    tuple(jnp.int32(o) for o in offs),
-                    rows,
-                    text,
-                    len(levels),
-                    plan.tail_chars,
-                    alphabet,
-                    jnp.int32(off),
-                )
+        sa = _run_plan(text, plan, alphabet, jittable=False)
         out["block_on"] = sa
     if as_numpy:
         return np.asarray(sa).astype(np.uint32)
     return sa
 
 
-# ---------------------------------------------------------------------------
-# fully-jitted single-program variant (for SPMD / fusion contexts)
-# ---------------------------------------------------------------------------
-
-
-def _group_ranks(neq: jnp.ndarray, sa: jnp.ndarray):
-    m = neq.shape[0]
-    idx = jnp.arange(m, dtype=jnp.int32)
-    head = lax.cummax(jnp.where(neq, idx, 0))
-    rank = _rank_by_position(sa, head + 1)
-    done = jnp.all(neq)
-    return rank, done
-
-
-def _double_pass(rank, sa, done, pos, offset: int, n: int):
-    """One full-array prefix-doubling pass: coverage L -> 2L, skipped
-    via lax.cond when every group is already a singleton."""
-
-    def run(args):
-        rank, sa, _ = args
-        key2 = _rank_shift(rank, offset)
-        r1s, r2s, sa2 = lax.sort(
-            (rank, key2, pos), num_keys=2, is_stable=True
-        )
-        neq = _neq_adjacent((r1s, r2s))
-        rank2, done2 = _group_ranks(neq, sa2)
-        return rank2, sa2, done2
-
-    return lax.cond(done, lambda args: args, run, (rank, sa, done))
-
-
 @partial(jax.jit, static_argnames=("k", "alphabet"))
 def k_ordered_suffix_array_device(
     text: jnp.ndarray, k: int | None = 256, alphabet: pack.Alphabet = pack.DNA
 ) -> jnp.ndarray:
-    """Jitted single-program core: int8 text of length n -> int32 SA of
-    length n+1. Same ordering contract as the host-driven path; useful
+    """Fully-jitted single-program core: int8 text of length n -> int32
+    SA of length n+1. Same ordering contract as the host path; useful
     inside larger jitted programs (SPMD pipelines, fused index builds).
-
-    SA[0] is always n (the empty/sentinel suffix sorts first, reference:
-    kiss_common.hpp:479 ``SA[m] = n`` sentinel placement).
     """
     n = text.shape[0]
-    plan = _make_plan(n, k, alphabet)
-    pos = jnp.arange(n + 1, dtype=jnp.int32)
-
-    seed_words = pack.suffix_key_words(text, plan.seed_chars, 0, alphabet)
-    ops = lax.sort(
-        tuple(seed_words) + (pos,), num_keys=len(seed_words), is_stable=True
-    )
-    sa = ops[-1]
-    if plan.doublings == 0 and not plan.decomp and plan.tail_chars == 0:
-        return sa
-
-    rank, done = _group_ranks(_neq_adjacent(ops[:-1]), sa)
-
-    saved = {}
-    cover = plan.seed_chars
-    if cover in plan.save_levels:
-        saved[cover] = rank
-    for _ in range(plan.doublings):
-        rank, sa, done = _double_pass(rank, sa, done, pos, cover, n)
-        cover *= 2
-        if cover in plan.save_levels:
-            saved[cover] = rank
-
-    if plan.decomp or plan.tail_chars:
-        keys = [rank]
-        off = cover
-        for lv in plan.decomp:
-            keys.append(_rank_shift(saved[lv], off))
-            off += lv
-        if plan.tail_chars:
-            keys.extend(
-                pack.suffix_key_words(text, plan.tail_chars, off, alphabet)
-            )
-        ops = lax.sort(
-            tuple(keys) + (pos,), num_keys=len(keys), is_stable=True
-        )
-        sa = ops[-1]
-    return sa
+    plan = _make_plan(n, _normalize_k(k), alphabet)
+    return _run_plan(text, plan, alphabet, jittable=True)
 
 
 def _normalize_k(k) -> int | None:
@@ -449,10 +375,10 @@ class Kiss1Sorter(_SorterBase):
 class Kiss2Sorter(_SorterBase):
     """PREFIX_DOUBLING strategy facade (reference: kiss2_sorter.hpp).
 
-    On TPU both reference strategies collapse onto the same
-    prefix-doubling dataflow: the packed-word seed sort IS the kISS-1
-    bucket sort generalized, and the doubling passes ARE kISS-2's loop
-    re-expressed as whole-array stable sorts. Both facades therefore
-    share one core and one (stronger) ordering contract: exact-k cut with
-    position tiebreaks.
+    On TPU both reference strategies collapse onto the same rank-block
+    sort dataflow: the packed-word seed sort IS the kISS-1 bucket sort
+    generalized, and the wide rank sort IS kISS-2's doubling loop
+    collapsed into one stable pass. Both facades therefore share one
+    core and one (stronger) ordering contract: exact-k cut with position
+    tiebreaks.
     """

@@ -1,8 +1,7 @@
 """Per-stage TPU profiling of the k-ordered sorter (dev tool).
 
-Runs the host-driven pipeline with a forced sync between stages so each
-stage's device time is attributable, and reports active-set sizes per
-round -- the data that decides where kernel work (Pallas) pays off.
+Times the seed sort and each rank-block round separately (forced syncs
+between stages) and reports the resolved fraction after the seed.
 """
 
 import sys
@@ -12,7 +11,6 @@ sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from bench import N, synth_genome
 from kiss_tpu.ops import pack
@@ -22,54 +20,46 @@ from kiss_tpu.utils import timing
 K = 256
 
 
-def t(label, fn, *args, **kw):
+def timed(label, fn, *args, **kw):
     out = fn(*args, **kw)
     timing.sync(out)
     t0 = time.perf_counter()
     out = fn(*args, **kw)
     timing.sync(out)
-    print(f"{label:28s} {time.perf_counter() - t0:7.4f}s", flush=True)
+    print(f"{label:40s} {time.perf_counter() - t0:7.4f}s", flush=True)
     return out
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else K
     text = jax.device_put(jnp.asarray(synth_genome(n)))
     timing.sync(text)
-    plan = ss._make_plan(n, K, pack.DNA)
+    plan = ss._make_plan(n, ss._normalize_k(k), pack.DNA)
     print("plan:", plan)
 
-    sa, rank, active, m_dev = t(
-        "seed_sort(32ch)", ss._seed_sort, text, plan.seed_chars, pack.DNA
+    sa, rank, done = timed(
+        "seed_sort", ss._seed_sort, text, plan.seed_chars, pack.DNA,
+        len(plan.rounds) > 0,
     )
-    m = int(m_dev)
-    print(f"active after seed: {m} ({100 * m / (n + 1):.1f}%)")
-
-    cap = ss._next_capacity(m, n + 1)
-    rows = t("compact_rows", ss._compact_rows, active, cap)
-    cover = plan.seed_chars
-    for r in range(plan.doublings):
-        if m == 0:
+    print(f"done after seed: {bool(done)}")
+    ranks = {plan.seed_chars: rank}
+    for i, rnd in enumerate(plan.rounds):
+        if bool(done):
+            print("early exit")
             break
-        ncap = ss._next_capacity(m, n + 1)
-        if ncap < rows.shape[0]:
-            rows = rows[:ncap]
-        # donation invalidates inputs; keep copies for the timed re-run
-        sa2, rank2, rows2, m_dev = ss._refine_round(
-            jnp.copy(sa), jnp.copy(rank), rows, jnp.int32(cover)
+        need_rank = (i < len(plan.rounds) - 1) or plan.unbounded
+        level_ids = tuple(sorted(ranks))
+        sa, rank, done = timed(
+            f"round {i}: {len(rnd.rank_keys)} rank keys + "
+            f"{rnd.tail_chars}ch tail -> cover {rnd.new_cover}",
+            ss._rank_block_sort,
+            text, tuple(ranks[lv] for lv in level_ids), level_ids,
+            rnd.rank_keys, rnd.tail_chars, rnd.tail_offset, pack.DNA,
+            need_rank,
         )
-        timing.sync(rows2)
-        t0 = time.perf_counter()
-        sa, rank, rows, m_dev = ss._refine_round(sa, rank, rows, jnp.int32(cover))
-        timing.sync(rows)
-        dt = time.perf_counter() - t0
-        m = int(m_dev)
-        print(
-            f"refine r{r} cover={cover:3d} cap={ncap:>9}   {dt:7.4f}s"
-            f"  -> active {m} ({100 * m / (n + 1):.1f}%)",
-            flush=True,
-        )
-        cover *= 2
+        if need_rank:
+            ranks[rnd.new_cover] = rank
 
 
 if __name__ == "__main__":
