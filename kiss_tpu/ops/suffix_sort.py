@@ -174,21 +174,22 @@ def _rank_shift(rank: jnp.ndarray, offset: int) -> jnp.ndarray:
     return jnp.concatenate([rank[off:], jnp.zeros(off, rank.dtype)])
 
 
-def _rank_by_position(sa: jnp.ndarray, rank_sorted: jnp.ndarray):
+def _rank_by_position(sa: jnp.ndarray, rank_sorted: jnp.ndarray,
+                      sort_impl=lax.sort):
     """Invert the sorted-order rank to position-major by sorting
     (sa, rank) by sa: for a permutation this equals the scatter
     rank[sa] = rank_sorted but avoids XLA's slow random scatter."""
-    _, rank = lax.sort((sa, rank_sorted), num_keys=1, is_stable=False)
+    _, rank = sort_impl((sa, rank_sorted), num_keys=1, is_stable=False)
     return rank
 
 
-def _ranks_of_sorted(sorted_keys, sa):
+def _ranks_of_sorted(sorted_keys, sa, sort_impl=lax.sort):
     """(position-major rank, all-singleton flag) from a sorted key set."""
     N = sa.shape[0]
     pos = jnp.arange(N, dtype=jnp.int32)
     neq = _neq_adjacent(sorted_keys)
     head = lax.cummax(jnp.where(neq, pos, 0))
-    rank = _rank_by_position(sa, head + 1)
+    rank = _rank_by_position(sa, head + 1, sort_impl)
     nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
     done = jnp.all(neq & nxt)
     return rank, done
@@ -210,29 +211,34 @@ def _round_keys(rnd: _Round, ranks: dict, text, alphabet):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("seed_chars", "alphabet", "with_rank"))
-def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool):
+@partial(
+    jax.jit,
+    static_argnames=("seed_chars", "alphabet", "with_rank", "sort_impl"),
+)
+def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
+               sort_impl=lax.sort):
     """Stable sort of all n+1 suffixes by the first ``seed_chars``
     characters. Returns (sa, rank, done); rank/done are dummies when
     ``with_rank`` is False (i.e. the seed alone covers k)."""
     n = text.shape[0]
     pos = jnp.arange(n + 1, dtype=jnp.int32)
     words = pack.suffix_key_words(text, seed_chars, 0, alphabet)
-    ops = lax.sort(tuple(words) + (pos,), num_keys=len(words), is_stable=True)
+    ops = sort_impl(tuple(words) + (pos,), num_keys=len(words), is_stable=True)
     sa = ops[-1]
     if not with_rank:
         return sa, sa, jnp.bool_(True)
-    rank, done = _ranks_of_sorted(ops[:-1], sa)
+    rank, done = _ranks_of_sorted(ops[:-1], sa, sort_impl)
     return sa, rank, done
 
 
 @partial(
     jax.jit,
     static_argnames=("rank_key_spec", "tail_chars", "tail_offset",
-                     "alphabet", "with_rank", "level_ids"),
+                     "alphabet", "with_rank", "level_ids", "sort_impl"),
 )
 def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
-                     tail_chars, tail_offset, alphabet, with_rank: bool):
+                     tail_chars, tail_offset, alphabet, with_rank: bool,
+                     sort_impl=lax.sort):
     """One wide stable sort by shifted rank-level keys (+ optional raw
     tail words). ``rank_arrays`` is a tuple aligned with ``level_ids``;
     ``rank_key_spec`` is ((level, offset), ...)."""
@@ -244,20 +250,21 @@ def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
         keys.extend(
             pack.suffix_key_words(text, tail_chars, tail_offset, alphabet)
         )
-    ops = lax.sort(tuple(keys) + (pos,), num_keys=len(keys), is_stable=True)
+    ops = sort_impl(tuple(keys) + (pos,), num_keys=len(keys), is_stable=True)
     sa = ops[-1]
     if not with_rank:
         return sa, sa, jnp.bool_(True)
-    rank, done = _ranks_of_sorted(ops[:-1], sa)
+    rank, done = _ranks_of_sorted(ops[:-1], sa, sort_impl)
     return sa, rank, done
 
 
-def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool):
+def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
+              sort_impl=lax.sort):
     """Shared driver for the host path (early exits via host sync) and
     the fully-jitted path (early exits via lax.cond)."""
     nrounds = len(plan.rounds)
     sa, rank, done = _seed_sort(
-        text, plan.seed_chars, alphabet, nrounds > 0
+        text, plan.seed_chars, alphabet, nrounds > 0, sort_impl
     )
     if nrounds == 0:
         return sa
@@ -272,7 +279,7 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool):
         rank_arrays = tuple(ranks[lv] for lv in level_ids)
         args = (
             text, rank_arrays, level_ids, rnd.rank_keys, rnd.tail_chars,
-            rnd.tail_offset, alphabet, need_rank,
+            rnd.tail_offset, alphabet, need_rank, sort_impl,
         )
         if jittable:
             # skip the round entirely when already fully resolved

@@ -41,18 +41,12 @@ def make_mesh(n_devices: int | None = None, axis: str = SEQ_AXIS) -> Mesh:
 
 
 def sharded_suffix_sort(mesh: Mesh, text: jnp.ndarray, k: int | None):
-    """k-ordered SA with the text sharded over the sequence axis."""
-    sharding = NamedSharding(mesh, P(SEQ_AXIS))
-    fn = jax.jit(
-        partial(
-            suffix_sort.k_ordered_suffix_array_device,
-            k=k,
-            alphabet=pack.DNA,
-        ),
-        in_shardings=sharding,
-        out_shardings=NamedSharding(mesh, P(None)),
-    )
-    return fn(text)
+    """k-ordered SA with the text sharded over the sequence axis and all
+    global sorts on the explicit block-bitonic ICI network
+    (:mod:`kiss_tpu.parallel.dsort`)."""
+    from kiss_tpu.parallel import dsort
+
+    return dsort.sharded_k_ordered_suffix_array(mesh, text, k, SEQ_AXIS)
 
 
 def sharded_batch_query(mesh: Mesh, arrays: fm.FMArrays, queries, lookup_len=0):
@@ -82,14 +76,21 @@ def sharded_pipeline_step(mesh: Mesh, text: jnp.ndarray, queries: jnp.ndarray):
     text_sh = NamedSharding(mesh, P(SEQ_AXIS))
     q_sh = NamedSharding(mesh, P(SEQ_AXIS, None))
 
+    from kiss_tpu.parallel import dsort
+
+    sort_impl = dsort.make_sharded_sort_impl(mesh, SEQ_AXIS)
+    plan = suffix_sort._make_plan(
+        text.shape[0], suffix_sort._normalize_k(fm.SORT_LEN), pack.DNA
+    )
+
     @partial(
         jax.jit,
         in_shardings=(text_sh, q_sh),
         out_shardings=None,
     )
     def step(text, queries):
-        sa = suffix_sort.k_ordered_suffix_array_device(
-            text, fm.SORT_LEN, pack.DNA
+        sa = suffix_sort._run_plan(
+            text, plan, pack.DNA, jittable=True, sort_impl=sort_impl
         )
         arrays = fm.build_index_device(text, sa, 4)
         beg, end, offs = fm.get_range_device(arrays, queries, 0)
