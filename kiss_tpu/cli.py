@@ -46,6 +46,13 @@ def _add_generic(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--verbose", action="store_true", help="print more information"
     )
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="write a jax.profiler device trace for this command to DIR "
+        "(TPU-native analog of the reference's per-stage spdlog "
+        "stopwatches)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -175,13 +182,11 @@ def fmindex_query_main(args) -> None:
             num_query, query_len
         )
         sw = timing.Stopwatch()
-        lens, positions, _starts = fmi.batch_query(queries)
+        occ, checksum = fmi.batch_query_stats(queries)
         elapsed = sw.elapsed()
         timing.log_info("searching time: %s seconds", elapsed)
-        timing.log_info("number of matched locations: %d", int(lens.sum()))
-        timing.log_info(
-            "location checksum: %d", int(positions.astype(np.int64).sum())
-        )
+        timing.log_info("number of matched locations: %d", occ)
+        timing.log_info("location checksum: %d", checksum)
 
 
 COMMANDS = {
@@ -202,7 +207,14 @@ def main(argv=None) -> int:
         parser.print_help()
         return 0
     timing.setup_logging(verbose=getattr(args, "verbose", False))
-    COMMANDS[args.command](args)
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            COMMANDS[args.command](args)
+    else:
+        COMMANDS[args.command](args)
     return 0
 
 

@@ -35,6 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from kiss_tpu.ops import pack
 from kiss_tpu.ops.suffix_sort import Kiss1Sorter
@@ -234,15 +235,62 @@ def get_range_device(idx: FMArrays, queries: jnp.ndarray, lookup_len: int):
         steps = m - lookup_len
 
     offs = jnp.full(q, steps, jnp.int32)
-    for j in range(steps - 1, -1, -1):
-        c = queries[:, j].astype(jnp.int32)
+
+    def step(t, carry):
+        # walk characters right-to-left (reference: compute_range,
+        # fm_index.hpp:224-235); fori_loop keeps compile time flat in
+        # pattern length (an unrolled loop made XLA compile superlinear)
+        beg, end, offs = carry
+        j = steps - 1 - t
+        c = lax.dynamic_slice_in_dim(queries, j, 1, axis=1)[:, 0].astype(
+            jnp.int32
+        )
         alive = end > beg
         nbeg = _lf(idx, c, beg)
         nend = _lf(idx, c, end)
         beg = jnp.where(alive, nbeg, beg)
         end = jnp.where(alive, nend, end)
         offs = jnp.where(alive, j, offs)
+        return beg, end, offs
+
+    beg, end, offs = lax.fori_loop(0, steps, step, (beg, end, offs))
     return beg, end, offs
+
+
+_CHK_CHUNK = 128
+
+
+@partial(jax.jit, static_argnames=("sa_intv", "capacity"))
+def batch_locate_stats_device(
+    idx: FMArrays, beg: jnp.ndarray, end: jnp.ndarray, sa_intv: int,
+    capacity: int,
+):
+    """Expand [beg, end) ranges for a query batch into rows on device,
+    locate them, and reduce toward the (total occurrences, location
+    checksum) pair the reference batch loop accumulates
+    (reference: include/command/fmindex_query.hpp:87-94) -- without
+    moving per-query arrays to the host.
+
+    ``capacity`` (multiple of 128) must be >= sum(end - beg); row slots
+    past the total are masked out. Returns (lo_sums, hi_sums): chunked
+    partial sums of the low/high 16 bits of each position. int64 is
+    unavailable on-device (no x64), so the exact 64-bit checksum is
+    finished on the host as sum(lo) + 2^16 * sum(hi); the chunked int32
+    partials cannot overflow (128 * 0xFFFF < 2^23).
+    """
+    lens = end - beg
+    starts = jnp.cumsum(lens) - lens  # exclusive prefix
+    r = jnp.arange(capacity, dtype=jnp.int32)
+    q = jnp.searchsorted(starts, r, side="right") - 1
+    rows = beg[q] + (r - starts[q])
+    total = starts[-1] + lens[-1]
+    valid = r < total
+    rows = jnp.where(valid, rows, 0)
+    pos = locate_rows_device(idx, rows, sa_intv).astype(jnp.uint32)
+    pos = jnp.where(valid, pos, 0)
+    lo = (pos & 0xFFFF).astype(jnp.int32).reshape(-1, _CHK_CHUNK)
+    hi = (pos >> 16).astype(jnp.int32).reshape(-1, _CHK_CHUNK)
+    return lo.sum(axis=1), hi.sum(axis=1)
 
 
 @partial(jax.jit, static_argnames=("sa_intv",))
@@ -394,6 +442,31 @@ class FMIndex:
         )
         positions = self.locate_rows(rows.astype(np.int32))
         return lens, positions, starts
+
+    def batch_query_stats(self, queries: np.ndarray) -> tuple[int, int]:
+        """(total occurrences, location checksum) for a batch -- the two
+        accumulators of the reference batch loop (reference:
+        include/command/fmindex_query.hpp:87-94). Everything except two
+        scalars stays on device."""
+        queries = np.ascontiguousarray(queries, dtype=np.int8)
+        if queries.size == 0:
+            return 0, 0
+        beg, end, _ = get_range_device(
+            self.arrays, jnp.asarray(queries), self.lookup_len
+        )
+        total = int(jnp.sum(end - beg))
+        if total == 0:
+            return 0, 0
+        cap = 128
+        while cap < total:
+            cap *= 2
+        lo, hi = batch_locate_stats_device(
+            self.arrays, beg, end, self.sa_intv, cap
+        )
+        checksum = int(np.asarray(lo, dtype=np.int64).sum()) + (
+            int(np.asarray(hi, dtype=np.int64).sum()) << 16
+        )
+        return total, checksum
 
     # -- serialization ----------------------------------------------------
 

@@ -61,6 +61,32 @@ def test_count_and_locate_vs_bruteforce(built, qlen):
         np.testing.assert_array_equal(got, np.sort(want))
 
 
+def test_batch_query_stats(built):
+    text, fmi = built
+    rng = np.random.default_rng(5)
+    queries = []
+    for _ in range(20):
+        p = int(rng.integers(0, len(text) - 12))
+        queries.append(text[p : p + 12])
+    queries = np.stack(queries)
+    total, checksum = fmi.batch_query_stats(queries)
+    want_total, want_checksum = 0, 0
+    for q in queries:
+        hits = oracle.search_all(text, q)
+        want_total += len(hits)
+        want_checksum += int(hits.sum())
+    assert total == want_total
+    assert checksum == want_checksum
+
+
+def test_fmtree(built):
+    text, fmi = built
+    q = text[2222 : 2222 + 13]
+    np.testing.assert_array_equal(
+        np.sort(fmi.fmtree(q)), np.sort(oracle.search_all(text, q))
+    )
+
+
 def test_single_query_interface(built):
     text, fmi = built
     q = text[1234 : 1234 + 15]
