@@ -64,7 +64,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array
-    from kiss_tpu.utils import timing
+    from kiss_tpu.utils import compile_cache, timing
+
+    compile_cache.enable()
 
     text = jax.device_put(jnp.asarray(synth_genome(N)))
     timing.sync(text)

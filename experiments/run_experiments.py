@@ -54,7 +54,9 @@ def main():
 
     from bench import synth_genome
     from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array
-    from kiss_tpu.utils import timing
+    from kiss_tpu.utils import compile_cache, timing
+
+    compile_cache.enable()
 
     test_name = f"synth{args.n}"
     n_devices = len(jax.devices())

@@ -207,6 +207,9 @@ def main(argv=None) -> int:
         parser.print_help()
         return 0
     timing.setup_logging(verbose=getattr(args, "verbose", False))
+    from kiss_tpu.utils import compile_cache
+
+    compile_cache.enable()
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
         import jax

@@ -24,9 +24,17 @@ def _check_exact(text, k, alphabet=pack.DNA):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("k", [1, 4, 16, 17, 31, 32, 56, 100, 256, -1])
+@pytest.mark.parametrize("k", [1, 4, 16, 17, 31, 32, 33, 56, 100, 255, 256, -1])
 def test_random_dna_exact(k):
     text = oracle.random_dna(4003, seed=k + 7)
+    _check_exact(text, k)
+
+
+@pytest.mark.parametrize("k", [33, 255, 992])
+def test_repeat_heavy_odd_k(k):
+    # odd k values exercise the greedy level decomposition + raw-word
+    # tails; tandem repeats make the deep ties actually reach them
+    text = oracle.repeat_heavy_dna(2500, unit=41, seed=k)
     _check_exact(text, k)
 
 

@@ -17,7 +17,9 @@ import numpy as np
 
 from bench import synth_genome
 from kiss_tpu.models.fm_index import FMIndex
-from kiss_tpu.utils import timing
+from kiss_tpu.utils import compile_cache, timing
+
+compile_cache.enable()
 
 
 def main():
