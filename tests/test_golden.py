@@ -1,0 +1,78 @@
+"""Conformance against golden outputs of the REAL reference binary.
+
+Fixtures in tests/golden/ were produced by compiling the reference
+sorters from /root/reference's headers and running them on fixed corpora
+(tools/make_golden.py). Conformance contract:
+
+  - unbounded k (-1): kiss-tpu's SA is BIT-IDENTICAL to the reference
+    (both strategies).
+  - bounded k: the reference's order within equal-k-prefix tie groups
+    is an emergent artifact of its induced sort -- kISS-1 and kISS-2
+    disagree with each other there (verified below) -- so the contract
+    is: identical tie-group structure, and equality up to permutation
+    within each group. kiss-tpu resolves ties by ascending text
+    position (the rule the reference's own LMS comparator documents,
+    reference: kiss1_core.hpp:131-133).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+FIXTURES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.npz")))
+
+
+def _group_ids(text: np.ndarray, sa: np.ndarray, k: int) -> np.ndarray:
+    """Map each SA row to its equal-k-prefix group id."""
+    n = len(text)
+    pad = np.full(n + k, -1, np.int16)
+    pad[:n] = text
+    win = np.lib.stride_tricks.sliding_window_view(pad, k)[: n + 1]
+    keys = win[sa]
+    neq = np.any(keys[1:] != keys[:-1], axis=1)
+    return np.concatenate([[0], np.cumsum(neq)])
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=os.path.basename)
+def test_unbounded_bit_identical(path):
+    data = np.load(path)
+    text = data["text"]
+    ours = k_ordered_suffix_array(text, -1)
+    np.testing.assert_array_equal(ours, data["sa_kiss1_k-1"])
+    np.testing.assert_array_equal(ours, data["sa_kiss2_k-1"])
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=os.path.basename)
+@pytest.mark.parametrize("k", [16, 32, 256])
+def test_bounded_tie_group_conformance(path, k):
+    data = np.load(path)
+    text = data["text"]
+    ours = k_ordered_suffix_array(text, k)
+    for algo in ("kiss1", "kiss2"):
+        ref = data[f"sa_{algo}_k{k}"]
+        gids = _group_ids(text, ref, k)
+        gids_ours = _group_ids(text, ours, k)
+        # identical group structure (same k-prefix multiset order)
+        np.testing.assert_array_equal(gids, gids_ours)
+        # same members within every tie group
+        order_ref = np.lexsort((ref, gids))
+        order_ours = np.lexsort((ours, gids_ours))
+        np.testing.assert_array_equal(
+            ref[order_ref], ours[order_ours],
+            err_msg=f"{algo} k={k}: tie-group membership differs",
+        )
+
+
+def test_reference_strategies_disagree_on_ties():
+    """Documents WHY bounded-k conformance is group-level: the
+    reference's own two strategies produce different tie orders."""
+    data = np.load(os.path.join(GOLDEN_DIR, "repeat3k.npz"))
+    assert not np.array_equal(data["sa_kiss1_k256"], data["sa_kiss2_k256"])
+    np.testing.assert_array_equal(
+        data["sa_kiss1_k-1"], data["sa_kiss2_k-1"]
+    )
