@@ -38,18 +38,27 @@ import numpy as np
 from jax import lax
 
 from kiss_tpu.ops import pack
-from kiss_tpu.ops.suffix_sort import Kiss1Sorter
+from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array
 from kiss_tpu.utils import serializer, timing
 
 OCC1_INTV = 256
 OCC2_INTV = 16
 B_OCC_INTV = 64
 
-# The reference build always sorts with k=32 regardless of the CLI -k
-# (reference: fm_index.hpp:384-386) -- queries are only guaranteed for
-# patterns short enough that backward search never compares beyond the
-# 32-ordered horizon.
-SORT_LEN = 32
+# The reference build hardcodes a 32-ordered SA (reference:
+# fm_index.hpp:384-386) and relies on a subtle property of its induced
+# sort: within equal-32-prefix tie groups, members come out ordered by
+# their successor suffixes, which is exactly the consistency LF walks
+# need. A direct sorter with position tie-breaks does NOT have that
+# property (locate returns wrong positions on >=32-char repeats), and
+# the only tie order a direct sorter can guarantee LF-consistent is the
+# FULL suffix order -- where this library is bit-identical to the
+# reference anyway (tests/test_golden.py). So the default build sorts
+# fully (SORT_LEN = None -> unbounded), making locate exact for every
+# pattern length; pass sort_len=32 explicitly to reproduce the
+# reference's build shortcut (count-exact, locate-exact only off
+# repeats).
+SORT_LEN = None
 
 
 class FMArrays(NamedTuple):
@@ -338,19 +347,22 @@ class FMIndex:
 
     # -- build ------------------------------------------------------------
 
-    def build(self, ref: np.ndarray, sa: np.ndarray | None = None) -> "FMIndex":
-        """Build from an int8 reference (values 0..3). Sorts with the
-        hardcoded 32-order unless a suffix array is supplied
-        (reference: fm_index.hpp:379-388)."""
+    def build(
+        self, ref: np.ndarray, sa=None, sort_len: int | None = SORT_LEN
+    ) -> "FMIndex":
+        """Build from an int8 reference (values 0..3). Unless a suffix
+        array is supplied, sorts the full suffix order (see SORT_LEN
+        note; the reference's counterpart is fm_index.hpp:379-388)."""
         ref = np.ascontiguousarray(ref, dtype=np.int8)
         if sa is None:
-            sa = Kiss1Sorter.get_suffix_array_dna(ref, SORT_LEN)
-        with timing.stage("fmindex build") as out:
-            arrays = build_index_device(
-                jnp.asarray(ref),
-                jnp.asarray(np.asarray(sa).astype(np.int32)),
-                self.sa_intv,
+            sa = k_ordered_suffix_array(
+                ref, -1 if sort_len is None else sort_len, as_numpy=False
             )
+        sa = jnp.asarray(np.asarray(sa).astype(np.int32)) if isinstance(
+            sa, np.ndarray
+        ) else sa.astype(jnp.int32)
+        with timing.stage("fmindex build") as out:
+            arrays = build_index_device(jnp.asarray(ref), sa, self.sa_intv)
             out["block_on"] = arrays
         self.arrays = arrays
         self.n_rows = len(ref) + 1

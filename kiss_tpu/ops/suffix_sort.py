@@ -233,6 +233,34 @@ def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
 
 @partial(
     jax.jit,
+    static_argnames=("n_keys", "with_rank", "sort_impl"),
+)
+def _full_round(text, rank, cover, n_keys: int, with_rank: bool,
+                sort_impl=lax.sort):
+    """One wide stable sort by ``n_keys`` shifted copies of the current
+    rank level at offsets 0, cover, 2*cover, ... -- covering
+    n_keys*cover characters. ``cover`` is a TRACED scalar, so one
+    compiled program serves every doubling round of an unbounded sort
+    (shifts become clamped dynamic slices into the zero-padded rank:
+    starts beyond N clamp into the zero region, which is exactly the
+    past-end-is-smallest rule)."""
+    n = text.shape[0]
+    N = n + 1
+    pos = jnp.arange(N, dtype=jnp.int32)
+    padded = jnp.concatenate([rank, jnp.zeros(N, rank.dtype)])
+    keys = [
+        lax.dynamic_slice(padded, (cover * j,), (N,)) for j in range(n_keys)
+    ]
+    ops = sort_impl(tuple(keys) + (pos,), num_keys=n_keys, is_stable=True)
+    sa = ops[-1]
+    if not with_rank:
+        return sa, sa, jnp.bool_(True)
+    rank2, done = _ranks_of_sorted(ops[:-1], sa, sort_impl)
+    return sa, rank2, done
+
+
+@partial(
+    jax.jit,
     static_argnames=("rank_key_spec", "tail_chars", "tail_offset",
                      "alphabet", "with_rank", "level_ids", "sort_impl"),
 )
@@ -258,6 +286,15 @@ def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
     return sa, rank, done
 
 
+def _is_full(rnd: _Round, cover: int) -> bool:
+    """A round whose keys are q shifted copies of the current level and
+    no tail -- servable by the shared traced-offset program."""
+    return rnd.tail_chars == 0 and all(
+        lv == cover and off == j * cover
+        for j, (lv, off) in enumerate(rnd.rank_keys)
+    )
+
+
 def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
               sort_impl=lax.sort):
     """Shared driver for the host path (early exits via host sync) and
@@ -269,29 +306,49 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
     if nrounds == 0:
         return sa
 
+    # keep only the rank levels the (static) final round will reference
+    save_levels = set()
+    for rnd in plan.rounds:
+        if not _is_full(rnd, min(lv for lv, _ in rnd.rank_keys)):
+            save_levels.update(lv for lv, _ in rnd.rank_keys)
     ranks = {plan.seed_chars: rank}
+    cover = plan.seed_chars
     for i, rnd in enumerate(plan.rounds):
         is_last = i == nrounds - 1
         need_rank = (not is_last) or plan.unbounded
         if not jittable and bool(done):
             break
-        level_ids = tuple(sorted(ranks))
-        rank_arrays = tuple(ranks[lv] for lv in level_ids)
-        args = (
-            text, rank_arrays, level_ids, rnd.rank_keys, rnd.tail_chars,
-            rnd.tail_offset, alphabet, need_rank, sort_impl,
-        )
+        if _is_full(rnd, cover):
+            args = (
+                text, ranks[cover], jnp.int32(cover), len(rnd.rank_keys),
+                need_rank, sort_impl,
+            )
+            run = lambda args=args: _full_round(*args)  # noqa: E731
+        else:
+            level_ids = tuple(
+                sorted(lv for lv in ranks if lv in save_levels or lv == cover)
+            )
+            rank_arrays = tuple(ranks[lv] for lv in level_ids)
+            args = (
+                text, rank_arrays, level_ids, rnd.rank_keys,
+                rnd.tail_chars, rnd.tail_offset, alphabet, need_rank,
+                sort_impl,
+            )
+            run = lambda args=args: _rank_block_sort(*args)  # noqa: E731
         if jittable:
             # skip the round entirely when already fully resolved
             sa, rank, done = lax.cond(
                 done,
                 lambda sa=sa, rank=rank, done=done: (sa, rank, done),
-                lambda args=args: _rank_block_sort(*args),
+                run,
             )
         else:
-            sa, rank, done = _rank_block_sort(*args)
+            sa, rank, done = run()
         if need_rank:
+            if cover not in save_levels:
+                ranks.pop(cover, None)
             ranks[rnd.new_cover] = rank
+        cover = rnd.new_cover
     return sa
 
 

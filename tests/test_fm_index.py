@@ -25,7 +25,7 @@ def built():
 def test_cnt_and_bwt(built):
     text, fmi = built
     n = len(text)
-    sa = np.asarray(Kiss1Sorter.get_suffix_array_dna(text, 32)).astype(np.int64)
+    sa = np.asarray(Kiss1Sorter.get_suffix_array_dna(text, -1)).astype(np.int64)
     # cnt[c] = 1 + #chars < c (reference: fm_index.hpp:303-307)
     totals = np.bincount(text, minlength=4)
     want_cnt = 1 + np.concatenate([[0], np.cumsum(totals)[:-1]])

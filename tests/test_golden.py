@@ -68,6 +68,48 @@ def test_bounded_tie_group_conformance(path, k):
         )
 
 
+def test_fmi_byte_identical_when_tie_free():
+    """On a corpus with no 32-char repeats the reference's 32-ordered SA
+    has no tie groups, so OUR ``.fmi`` must equal the REFERENCE's
+    byte for byte (archive layout + BWT + occ + sampled SA + marks)."""
+    import io
+
+    from kiss_tpu.models.fm_index import FMIndex
+
+    data = np.load(os.path.join(GOLDEN_DIR, "random4k.npz"))
+    text = data["text"]
+    # precondition: reference k=32 SA equals ours (tie-free corpus)
+    np.testing.assert_array_equal(
+        data["sa_kiss1_k32"], k_ordered_suffix_array(text, 32)
+    )
+    fmi = FMIndex(sa_intv=4, lookup_len=0).build(text)
+    buf = io.BytesIO()
+    fmi.save(buf)
+    assert buf.getvalue() == data["fmi"].tobytes()
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=os.path.basename)
+def test_query_stats_match_reference(path):
+    """Batch query occ/checksum equal the reference binary's own
+    FMIndex results on every corpus -- including repeat-heavy ones where
+    the underlying SAs differ within tie groups (query results are
+    tie-order invariant)."""
+    import struct
+
+    from kiss_tpu.models.fm_index import FMIndex
+
+    data = np.load(path)
+    text = data["text"]
+    raw = data["patterns"].tobytes()
+    qlen, nq = struct.unpack("<II", raw[:8])
+    queries = np.frombuffer(raw[8:], dtype=np.int8).reshape(nq, qlen)
+    fmi = FMIndex(sa_intv=4, lookup_len=0).build(text)
+    occ, checksum = fmi.batch_query_stats(queries)
+    want_occ, want_checksum = data["query_stats"]
+    assert occ == want_occ
+    assert checksum == want_checksum
+
+
 def test_reference_strategies_disagree_on_ties():
     """Documents WHY bounded-k conformance is group-level: the
     reference's own two strategies produce different tie orders."""
