@@ -259,6 +259,63 @@ def _full_round(text, rank, cover, n_keys: int, with_rank: bool,
     return sa, rank2, done
 
 
+@partial(jax.jit, static_argnames=("sort_impl",))
+def _active_rows_of(sa, rank, sort_impl=lax.sort):
+    """Row-space flags + count of suffixes in unresolved tie groups."""
+    key_sorted = rank[sa]
+    neq = _neq_adjacent((key_sorted,))
+    nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
+    active = ~(neq & nxt)
+    return active, jnp.sum(active, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _compact_rows(active, capacity: int):
+    """Ascending active row ids zero-filled to a static capacity (the
+    dataflow form of kISS-2's compact, reference: kiss2_core.hpp:
+    464-536). Fill entries alias row 0 -- the sentinel row, whose rank 1
+    is the global minimum, so downstream sorts park them harmlessly at
+    the front and their writes re-store the unchanged sentinel."""
+    (rows,) = jnp.nonzero(active, size=capacity, fill_value=0)
+    return rows.astype(jnp.int32)
+
+
+@partial(jax.jit, donate_argnames=("sa", "rank"))
+def _tail_refine(sa, rank, rows, cover):
+    """One compacted refinement round for the deep tail of an unbounded
+    sort: re-sorts only suffixes still in tie groups by MAX_RANK_KEYS
+    shifted rank lookups (small gathers -- affordable at tail sizes),
+    writes the new order back into their own rows, updates ranks, and
+    re-compacts. Returns (sa, rank, rows_next, m_next)."""
+    n = sa.shape[0] - 1
+    p = sa[rows]
+    keys = []
+    for j in range(MAX_RANK_KEYS):
+        q = p + cover * j
+        keys.append(jnp.where(q <= n, rank[jnp.minimum(q, n)], 0))
+    ops = lax.sort(
+        tuple(keys) + (p,), num_keys=MAX_RANK_KEYS, is_stable=True
+    )
+    ps = ops[-1]
+    trows = jnp.sort(rows)
+    sa = sa.at[trows].set(ps)
+
+    m = rows.shape[0]
+    neq = _neq_adjacent(ops[:-1])
+    head = lax.cummax(jnp.where(neq, trows, 0))
+    is_fill = ps == n
+    rank = rank.at[ps].set(jnp.where(is_fill, 1, head + 1))
+
+    nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
+    still = ~(neq & nxt) & ~is_fill
+    (keep,) = jnp.nonzero(still, size=m, fill_value=-1)
+    rows_next = jnp.where(keep >= 0, trows[jnp.maximum(keep, 0)], 0)
+    return (
+        sa, rank, rows_next.astype(jnp.int32),
+        jnp.sum(still, dtype=jnp.int32),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("rank_key_spec", "tail_chars", "tail_offset",
@@ -284,6 +341,19 @@ def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
         return sa, sa, jnp.bool_(True)
     rank, done = _ranks_of_sorted(ops[:-1], sa, sort_impl)
     return sa, rank, done
+
+
+def _next_capacity(m: int, cap: int) -> int:
+    c = 1024
+    while c < m:
+        c *= 2
+    return min(c, cap)
+
+
+# unbounded sorts switch from full-array wide sorts to compacted tail
+# refinement after this many rounds (one round reaches 256 chars of
+# coverage; beyond that the active set is a small fraction on real data)
+_FULL_ROUNDS_BEFORE_TAIL = 1
 
 
 def _is_full(rnd: _Round, cover: int) -> bool:
@@ -317,6 +387,29 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
         is_last = i == nrounds - 1
         need_rank = (not is_last) or plan.unbounded
         if not jittable and bool(done):
+            break
+        if (
+            plan.unbounded
+            and not jittable
+            and sort_impl is lax.sort
+            and i >= _FULL_ROUNDS_BEFORE_TAIL
+        ):
+            # deep-tail refinement on the compacted active set
+            N = text.shape[0] + 1
+            active, m_dev = _active_rows_of(sa, rank)
+            m = int(m_dev)
+            if m == 0:
+                break
+            rows = _compact_rows(active, _next_capacity(m, N))
+            while m > 0:
+                ncap = _next_capacity(m, N)
+                if ncap < rows.shape[0]:
+                    rows = rows[:ncap]
+                sa, rank, rows, m_dev = _tail_refine(
+                    sa, rank, rows, jnp.int32(cover)
+                )
+                m = int(m_dev)
+                cover *= MAX_RANK_KEYS
             break
         if _is_full(rnd, cover):
             args = (
