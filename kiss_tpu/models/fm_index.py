@@ -411,8 +411,18 @@ class FMIndex:
         rows = np.ascontiguousarray(rows, dtype=np.int32)
         if rows.size == 0:
             return np.empty(0, dtype=np.uint32)
-        out = locate_rows_device(self.arrays, jnp.asarray(rows), self.sa_intv)
-        return np.asarray(out).astype(np.uint32)
+        # pad to a power-of-two bucket so repeated queries with varying
+        # occurrence counts reuse a handful of compiled programs (row 0
+        # is always a valid row; pads are sliced away)
+        cap = 64
+        while cap < rows.size:
+            cap *= 2
+        padded = np.zeros(cap, dtype=np.int32)
+        padded[: rows.size] = rows
+        out = locate_rows_device(
+            self.arrays, jnp.asarray(padded), self.sa_intv
+        )
+        return np.asarray(out[: rows.size]).astype(np.uint32)
 
     def get_offsets(self, beg: int, end: int) -> np.ndarray:
         """Positions for one row range (reference: fm_index.hpp:453-501).
