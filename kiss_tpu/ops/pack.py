@@ -101,6 +101,47 @@ def suffix_key_words(
     return words
 
 
+def suffix_key_words_2bit(
+    text: jnp.ndarray, n_chars: int, char_offset: int = 0
+):
+    """Raw 2-bit packed DNA key words: 16 chars per uint32, big-endian,
+    past-end positions contribute 0.
+
+    Unlike :func:`suffix_key_words` (4 bits/char, c+1 so past-end sorts
+    first automatically), raw 2-bit packing cannot distinguish an 'A'
+    run from running out of text; callers MUST pair these words with a
+    shorter-first clamped-length key (:func:`clamped_suffix_len`) to
+    reproduce the reference's end-of-text rule (reference:
+    include/biovoltron/algo/sort/kiss1_core.hpp:131-134). Same grouping
+    and order as the 4-bit words at half the operand width.
+    """
+    n = text.shape[0]
+    cpw = 16
+    n_words = -(-n_chars // cpw)
+    padded = jnp.zeros(n + char_offset + n_words * cpw, dtype=jnp.uint32)
+    vals = text.view(jnp.uint8) if text.dtype == jnp.int8 else text
+    padded = padded.at[:n].set(vals.astype(jnp.uint32))
+    words = []
+    remaining = n_chars
+    for w in range(n_words):
+        chars = min(remaining, cpw)
+        acc = jnp.zeros(n + 1, dtype=jnp.uint32)
+        for j in range(chars):
+            off = char_offset + w * cpw + j
+            shift = 2 * (cpw - 1 - j)
+            acc = acc | (padded[off : off + n + 1] << shift)
+        words.append(acc)
+        remaining -= chars
+    return words
+
+
+def clamped_suffix_len(n: int, cover: int) -> jnp.ndarray:
+    """min(n - p, cover) for every suffix p in [0, n]: the shorter-first
+    tiebreak companion to :func:`suffix_key_words_2bit`."""
+    p = jnp.arange(n + 1, dtype=jnp.uint32)
+    return jnp.minimum(jnp.uint32(n) - p, jnp.uint32(cover))
+
+
 # ---------------------------------------------------------------------------
 # 2-bit symbol packing (BWT storage / occ rank words)
 # ---------------------------------------------------------------------------

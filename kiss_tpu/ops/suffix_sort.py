@@ -155,6 +155,71 @@ def _make_plan(n: int, k: int | None, alphabet: pack.Alphabet) -> _SortPlan:
 # ---------------------------------------------------------------------------
 
 
+def _field_layout(specs):
+    """Static layout for :func:`_pack_fields`. ``specs`` is a list of
+    (bits, align) pairs; returns (placements, n_words) where each
+    placement is (start_bit, bits) with start measured from the MSB of
+    word 0. ``align`` forces the field to not straddle a word boundary
+    (required for fields extracted back out after sorting)."""
+    placements = []
+    pos = 0
+    for bits, align in specs:
+        assert 1 <= bits <= 32
+        if align and pos // 32 != (pos + bits - 1) // 32:
+            pos = (pos // 32 + 1) * 32
+        placements.append((pos, bits))
+        pos += bits
+    return placements, -(-pos // 32)
+
+
+def _pack_fields(fields):
+    """Pack (array, bits, align) fields, most-significant first, into
+    uint32 words whose lexicographic (unsigned) order equals the order
+    of the field tuples.
+
+    This is the operand-compression step that lets one unstable
+    ``lax.sort`` carry e.g. eight 26-bit rank keys plus a position in 8
+    words instead of 9 stable operands: sort cost on TPU scales with
+    operand count, not key bits. Returns (words, placements).
+    """
+    placements, n_words = _field_layout([(b, a) for _, b, a in fields])
+    n = fields[0][0].shape[0]
+    acc: list = [None] * n_words
+    for (arr, bits, _), (start, _) in zip(fields, placements):
+        arr = arr.astype(jnp.uint32)
+        if bits < 32:
+            arr = arr & jnp.uint32((1 << bits) - 1)
+        end = start + bits
+        w0, w1 = start // 32, (end - 1) // 32
+        if w0 == w1:
+            piece = arr << (32 * (w0 + 1) - end)
+            acc[w0] = piece if acc[w0] is None else acc[w0] | piece
+        else:
+            spill = end - 32 * (w0 + 1)
+            hi, lo = arr >> spill, arr << (32 - spill)
+            acc[w0] = hi if acc[w0] is None else acc[w0] | hi
+            acc[w1] = lo if acc[w1] is None else acc[w1] | lo
+    zeros = jnp.zeros(n, dtype=jnp.uint32)
+    return [w if w is not None else zeros for w in acc], placements
+
+
+def _extract_field(words, placement):
+    start, bits = placement
+    w, shift = start // 32, 32 * (start // 32 + 1) - (start + bits)
+    assert start // 32 == (start + bits - 1) // 32, "field straddles"
+    return (words[w] >> shift) & jnp.uint32((1 << bits) - 1)
+
+
+def _mask_field(words, placement):
+    """Zero one (non-straddling) field out of the packed words, for
+    group-identity comparisons that must ignore the position bits."""
+    start, bits = placement
+    w = start // 32
+    shift = 32 * (w + 1) - (start + bits)
+    cleaned = words[w] & ~jnp.uint32(((1 << bits) - 1) << shift)
+    return [cleaned if i == w else x for i, x in enumerate(words)]
+
+
 def _neq_adjacent(sorted_keys) -> jnp.ndarray:
     neq = reduce(
         jnp.logical_or,
@@ -217,10 +282,37 @@ def _round_keys(rnd: _Round, ranks: dict, text, alphabet):
 )
 def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
                sort_impl=lax.sort):
-    """Stable sort of all n+1 suffixes by the first ``seed_chars``
-    characters. Returns (sa, rank, done); rank/done are dummies when
-    ``with_rank`` is False (i.e. the seed alone covers k)."""
+    """Sort of all n+1 suffixes by the first ``seed_chars`` characters
+    (shorter-first at end of text, then ascending position -- the full
+    reference comparator contract, kiss1_core.hpp:94-135). Returns
+    (sa, rank, done); rank/done are dummies when ``with_rank`` is False
+    (i.e. the seed alone covers k).
+
+    DNA fast path: raw 2-bit packed words (16 chars/operand) with the
+    clamped suffix length and the position fused into the final word,
+    run as one UNSTABLE total-order sort -- 3 operands for the standard
+    32-char seed instead of 5 stable ones.
+    """
     n = text.shape[0]
+    posbits = max(int(n).bit_length(), 1)
+    lenbits = max(int(seed_chars).bit_length(), 1)
+    if alphabet is pack.DNA and lenbits + posbits <= 32:
+        words2 = pack.suffix_key_words_2bit(text, seed_chars, 0)
+        lens = pack.clamped_suffix_len(n, seed_chars)
+        pos = jnp.arange(n + 1, dtype=jnp.uint32)
+        packed, places = _pack_fields(
+            [(w, 32, False) for w in words2]
+            + [(lens, lenbits, False), (pos, posbits, True)]
+        )
+        ops = sort_impl(tuple(packed), num_keys=len(packed), is_stable=False)
+        sa = _extract_field(ops, places[-1]).astype(jnp.int32)
+        if not with_rank:
+            return sa, sa, jnp.bool_(True)
+        rank, done = _ranks_of_sorted(
+            _mask_field(list(ops), places[-1]), sa, sort_impl
+        )
+        return sa, rank, done
+
     pos = jnp.arange(n + 1, dtype=jnp.int32)
     words = pack.suffix_key_words(text, seed_chars, 0, alphabet)
     ops = sort_impl(tuple(words) + (pos,), num_keys=len(words), is_stable=True)
@@ -246,16 +338,23 @@ def _full_round(text, rank, cover, n_keys: int, with_rank: bool,
     past-end-is-smallest rule)."""
     n = text.shape[0]
     N = n + 1
-    pos = jnp.arange(N, dtype=jnp.int32)
     padded = jnp.concatenate([rank, jnp.zeros(N, rank.dtype)])
     keys = [
         lax.dynamic_slice(padded, (cover * j,), (N,)) for j in range(n_keys)
     ]
-    ops = sort_impl(tuple(keys) + (pos,), num_keys=n_keys, is_stable=True)
-    sa = ops[-1]
+    rank_bits = max(int(N).bit_length(), 1)
+    posbits = max(int(n).bit_length(), 1)
+    pos = jnp.arange(N, dtype=jnp.uint32)
+    packed, places = _pack_fields(
+        [(k, rank_bits, False) for k in keys] + [(pos, posbits, True)]
+    )
+    ops = sort_impl(tuple(packed), num_keys=len(packed), is_stable=False)
+    sa = _extract_field(ops, places[-1]).astype(jnp.int32)
     if not with_rank:
         return sa, sa, jnp.bool_(True)
-    rank2, done = _ranks_of_sorted(ops[:-1], sa, sort_impl)
+    rank2, done = _ranks_of_sorted(
+        _mask_field(list(ops), places[-1]), sa, sort_impl
+    )
     return sa, rank2, done
 
 
@@ -328,18 +427,29 @@ def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
     tail words). ``rank_arrays`` is a tuple aligned with ``level_ids``;
     ``rank_key_spec`` is ((level, offset), ...)."""
     n = text.shape[0]
-    pos = jnp.arange(n + 1, dtype=jnp.int32)
     ranks = dict(zip(level_ids, rank_arrays))
-    keys = [_rank_shift(ranks[lv], off) for lv, off in rank_key_spec]
+    rank_bits = max(int(n + 1).bit_length(), 1)
+    posbits = max(int(n).bit_length(), 1)
+    fields = [
+        (_rank_shift(ranks[lv], off), rank_bits, False)
+        for lv, off in rank_key_spec
+    ]
     if tail_chars:
-        keys.extend(
-            pack.suffix_key_words(text, tail_chars, tail_offset, alphabet)
+        fields.extend(
+            (w, 32, False)
+            for w in pack.suffix_key_words(
+                text, tail_chars, tail_offset, alphabet
+            )
         )
-    ops = sort_impl(tuple(keys) + (pos,), num_keys=len(keys), is_stable=True)
-    sa = ops[-1]
+    pos = jnp.arange(n + 1, dtype=jnp.uint32)
+    packed, places = _pack_fields(fields + [(pos, posbits, True)])
+    ops = sort_impl(tuple(packed), num_keys=len(packed), is_stable=False)
+    sa = _extract_field(ops, places[-1]).astype(jnp.int32)
     if not with_rank:
         return sa, sa, jnp.bool_(True)
-    rank, done = _ranks_of_sorted(ops[:-1], sa, sort_impl)
+    rank, done = _ranks_of_sorted(
+        _mask_field(list(ops), places[-1]), sa, sort_impl
+    )
     return sa, rank, done
 
 
