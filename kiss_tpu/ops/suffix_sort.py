@@ -13,24 +13,33 @@ This module re-expresses the same *problem* (sort every suffix by its
 first k characters, ties broken by text position, sentinel/empty suffix
 first -- reference semantics: kiss1_core.hpp:94-135 comparator, ties at
 >= k chars resolved by ``i < j``) in a TPU-native dataflow built almost
-entirely from stable whole-array sorts and shifted slices -- NO random
-gathers or scatters, which on TPU cost 3-10x what a sort pass does:
+entirely from whole-array sorts and shifted slices -- NO random gathers
+or scatters. Measured on TPU (48.8M elements): one extra u32 sort
+operand costs ~73ms, a random gather runs at ~66M elem/s (3-10x a sort
+pass), so the design minimizes SORT OPERANDS and avoids gathers
+entirely:
 
-  1. Seed: pack the first 32 characters of every suffix into four
-     big-endian integer words (:mod:`kiss_tpu.ops.pack`) and run ONE
-     stable multi-key ``lax.sort`` over all n+1 suffixes. Stability over
-     position-major operands gives the ``i < j`` tie rule for free.
+  1. Seed: pack the first 32 characters of every suffix into raw 2-bit
+     words (16 chars per uint32) plus one word fusing the clamped
+     suffix length (shorter-first end-of-text rule) and the text
+     position, and run ONE UNSTABLE total-order ``lax.sort`` -- 3
+     operands. The fused position makes the key tuple a total order, so
+     stability machinery is unnecessary and the ``i < j`` tie rule
+     still falls out.
   2. Rank: group heads by compare-adjacent + ``cummax`` segmented scan;
      the position-major rank array is rebuilt by sorting (sa, rank) by
-     sa (a stable sort beats XLA's random scatter at this scale).
+     sa (a 2-operand sort beats XLA's random scatter at this scale).
   3. Rank-block sort: because every rank key covers the SAME block
      length L, lexicographic order of (rank_L[p], rank_L[p+L],
      rank_L[p+2L], ...) IS the order of the concatenated blocks -- and
      in position-major layout each rank_L[p+jL] operand is a pure
-     shifted slice. One stable (k/L)-key sort therefore lands exactly on
-     k characters: k=256 is seed(32) + rank rebuild + one 8-key sort.
-     This generalizes kISS-2's prefix doubling (a chain of 2-key rank
-     sorts) to a single wide sort with zero random memory traffic.
+     shifted slice. The 8 rank keys + position are BIT-PACKED at their
+     true widths (``_pack_fields``) into the fewest uint32 words -- 8
+     operands instead of 9 for k=256 at genome scale -- and one
+     unstable sort lands exactly on k characters: k=256 is seed(32) +
+     rank rebuild + one packed 8-key sort. This generalizes kISS-2's
+     prefix doubling (a chain of 2-key rank sorts) to a single wide
+     sort with zero random memory traffic.
   4. Exact-k remainders smaller than a full block are closed with saved
      rank levels (greedy decomposition) and raw packed words, so ties
      beyond exactly k characters are never consulted -- matching the
@@ -40,6 +49,8 @@ gathers or scatters, which on TPU cost 3-10x what a sort pass does:
 Bounded k compiles to ONE static XLA program (shardable under GSPMD);
 unbounded (-1) runs the same wide sort in a short host-driven loop with
 an all-singleton early exit (coverage multiplies by 8 per round).
+Positions and ranks use int32 below 2**31 and uint32 up to chm13 scale
+(``_pos_dtype``); single-operand u32 lanes cover every real genome.
 """
 
 from __future__ import annotations
@@ -248,27 +259,24 @@ def _rank_by_position(sa: jnp.ndarray, rank_sorted: jnp.ndarray,
     return rank
 
 
+def _pos_dtype(n: int):
+    """Dtype for text positions/ranks: int32 when they fit (faster,
+    plays well with downstream int indexing), uint32 for chm13-scale
+    texts whose positions exceed 2**31 - 1 (n < 2**32 always: SA entries
+    and ranks are single u32 lanes by design; see ROADMAP chm13 item)."""
+    return jnp.int32 if n < 2**31 else jnp.uint32
+
+
 def _ranks_of_sorted(sorted_keys, sa, sort_impl=lax.sort):
     """(position-major rank, all-singleton flag) from a sorted key set."""
     N = sa.shape[0]
-    pos = jnp.arange(N, dtype=jnp.int32)
+    pos = jnp.arange(N, dtype=sa.dtype)
     neq = _neq_adjacent(sorted_keys)
-    head = lax.cummax(jnp.where(neq, pos, 0))
+    head = lax.cummax(jnp.where(neq, pos, jnp.zeros((), sa.dtype)))
     rank = _rank_by_position(sa, head + 1, sort_impl)
     nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
     done = jnp.all(neq & nxt)
     return rank, done
-
-
-def _round_keys(rnd: _Round, ranks: dict, text, alphabet):
-    keys = [_rank_shift(ranks[lv], off) for lv, off in rnd.rank_keys]
-    if rnd.tail_chars:
-        keys.extend(
-            pack.suffix_key_words(
-                text, rnd.tail_chars, rnd.tail_offset, alphabet
-            )
-        )
-    return keys
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +313,7 @@ def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
             + [(lens, lenbits, False), (pos, posbits, True)]
         )
         ops = sort_impl(tuple(packed), num_keys=len(packed), is_stable=False)
-        sa = _extract_field(ops, places[-1]).astype(jnp.int32)
+        sa = _extract_field(ops, places[-1]).astype(_pos_dtype(n))
         if not with_rank:
             return sa, sa, jnp.bool_(True)
         rank, done = _ranks_of_sorted(
@@ -313,7 +321,7 @@ def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
         )
         return sa, rank, done
 
-    pos = jnp.arange(n + 1, dtype=jnp.int32)
+    pos = jnp.arange(n + 1, dtype=_pos_dtype(n))
     words = pack.suffix_key_words(text, seed_chars, 0, alphabet)
     ops = sort_impl(tuple(words) + (pos,), num_keys=len(words), is_stable=True)
     sa = ops[-1]
@@ -349,7 +357,7 @@ def _full_round(text, rank, cover, n_keys: int, with_rank: bool,
         [(k, rank_bits, False) for k in keys] + [(pos, posbits, True)]
     )
     ops = sort_impl(tuple(packed), num_keys=len(packed), is_stable=False)
-    sa = _extract_field(ops, places[-1]).astype(jnp.int32)
+    sa = _extract_field(ops, places[-1]).astype(_pos_dtype(n))
     if not with_rank:
         return sa, sa, jnp.bool_(True)
     rank2, done = _ranks_of_sorted(
@@ -444,7 +452,7 @@ def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
     pos = jnp.arange(n + 1, dtype=jnp.uint32)
     packed, places = _pack_fields(fields + [(pos, posbits, True)])
     ops = sort_impl(tuple(packed), num_keys=len(packed), is_stable=False)
-    sa = _extract_field(ops, places[-1]).astype(jnp.int32)
+    sa = _extract_field(ops, places[-1]).astype(_pos_dtype(n))
     if not with_rank:
         return sa, sa, jnp.bool_(True)
     rank, done = _ranks_of_sorted(
@@ -503,6 +511,10 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
             and not jittable
             and sort_impl is lax.sort
             and i >= _FULL_ROUNDS_BEFORE_TAIL
+            # the compacted-tail machinery indexes rows with int32;
+            # chm13-scale texts (> 2**31 positions) take the plain
+            # uint32-safe full rounds instead
+            and text.shape[0] < 2**31 - 1
         ):
             # deep-tail refinement on the compacted active set
             N = text.shape[0] + 1

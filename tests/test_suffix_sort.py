@@ -113,3 +113,65 @@ def test_general_full_byte_alphabet():
 def test_genome_like_medium():
     text = oracle.genome_like_dna(200_000, ancestral=1 << 14, seed=2)
     _check_exact(text, 256)
+
+
+def test_pos_dtype_switch():
+    from kiss_tpu.ops.suffix_sort import _pos_dtype
+    import jax.numpy as jnp
+
+    assert _pos_dtype(10**6) == jnp.int32
+    assert _pos_dtype(2**31 - 1) == jnp.int32
+    assert _pos_dtype(2**31) == jnp.uint32
+    assert _pos_dtype(3_117_292_070) == jnp.uint32  # chm13v2.0
+
+
+def test_pack_fields_u32_order_roundtrip():
+    """The packed-word comparator must stay correct for chm13-scale
+    field values (> 2**31, full 32-bit fields): unsigned word order ==
+    field-tuple order, and aligned fields extract exactly."""
+    import jax.numpy as jnp
+
+    from kiss_tpu.ops.suffix_sort import (
+        _extract_field,
+        _mask_field,
+        _pack_fields,
+    )
+
+    rng = np.random.default_rng(0)
+    m = 257
+    # values spanning the full uint32 range, incl. > 2**31
+    r0 = rng.integers(0, 2**32, m, dtype=np.uint32)
+    r1 = rng.integers(0, 2**32, m, dtype=np.uint32)
+    short = rng.integers(0, 2**7, m, dtype=np.uint32)
+    pos = rng.permutation(np.arange(m, dtype=np.uint32)) + np.uint32(
+        2**31 + 11
+    )
+    words, places = _pack_fields(
+        [
+            (jnp.asarray(r0), 32, False),
+            (jnp.asarray(short), 7, False),
+            (jnp.asarray(r1), 32, False),
+            (jnp.asarray(pos), 32, True),
+        ]
+    )
+    w = [np.asarray(x) for x in words]
+    # extraction round-trips the aligned field
+    np.testing.assert_array_equal(
+        np.asarray(_extract_field(words, places[-1])), pos
+    )
+    # lexicographic word order == field-tuple order
+    got = np.lexsort(tuple(reversed(w)))
+    want = np.lexsort((pos, r1, short, r0))
+    np.testing.assert_array_equal(got, want)
+    # masking the pos field removes exactly it
+    masked = [np.asarray(x) for x in _mask_field(list(words), places[-1])]
+    words2, _ = _pack_fields(
+        [
+            (jnp.asarray(r0), 32, False),
+            (jnp.asarray(short), 7, False),
+            (jnp.asarray(r1), 32, False),
+            (jnp.asarray(np.zeros(m, np.uint32)), 32, True),
+        ]
+    )
+    for a, b in zip(masked, words2):
+        np.testing.assert_array_equal(a, np.asarray(b))
