@@ -43,6 +43,13 @@ def main():
         help="comma-separated k values (-1 = unbounded)",
     )
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--devices", default="",
+        help="comma-separated device counts: sweep the mesh size at "
+        "fixed k=256 over the distributed block-bitonic sort (the "
+        "experiment_b.sh thread-sweep analog; device counts must be "
+        "powers of two and <= available devices)",
+    )
     args = ap.parse_args()
     if args.quick:
         args.n = min(args.n, 1_000_000)
@@ -64,7 +71,27 @@ def main():
     timing.sync(text)
 
     rows = []
-    for k in (int(x) for x in args.ks.split(",")):
+    if args.devices:
+        # experiment_b analog: fixed k, sweep the parallelism knob
+        # (reference: experiment/experiment_b.sh:10-39 sweeps threads;
+        # here the knob is the mesh size over the sequence axis)
+        from kiss_tpu.parallel import make_mesh, sharded_suffix_sort
+
+        for d in (int(x) for x in args.devices.split(",")):
+            mesh = make_mesh(d)
+            timing.sync(sharded_suffix_sort(mesh, text, 256))  # warm
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                sa = sharded_suffix_sort(mesh, text, 256)
+                timing.sync(sa)
+                dt = time.perf_counter() - t0
+                rows.append(
+                    ["kiss-tpu", test_name, 256, d, f"{dt:.4f}",
+                     device_peak_bytes()]
+                )
+                print(",".join(str(x) for x in rows[-1]), flush=True)
+        args.ks = ""
+    for k in (int(x) for x in args.ks.split(",") if x):
         # warm (compile all round variants for this k)
         timing.sync(k_ordered_suffix_array(text, k, as_numpy=False))
         for _ in range(args.repeats):

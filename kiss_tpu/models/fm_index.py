@@ -10,9 +10,10 @@ for JAX/XLA:
     reference: fm_index.hpp:277-308), the sampled-SA mark/rank structure
     by popcount scans and a static-size compaction.
   - Queries are *batched*: ``get_range`` runs the backward search for Q
-    patterns at once (each LF step is two table gathers + a bitcount over
-    one packed word -- the vectorized form of compute_occ,
-    fm_index.hpp:166-182), and ``locate`` resolves whole row-sets with a
+    patterns at once (each LF step is ONE fused occ-table gather + a bitcount
+    over one packed word -- the vectorized form of compute_occ,
+    fm_index.hpp:166-182, with the occ1/occ2 levels pre-summed
+    device-side), and ``locate`` resolves whole row-sets with a
     masked fixed-depth LF walk. The reference accelerates locate with a
     sequential FMTree BFS queue (fm_index.hpp:453-501); on TPU the
     bounded LF walk vectorizes perfectly over every row at once, so the
@@ -73,6 +74,11 @@ class FMArrays(NamedTuple):
     b_words: jnp.ndarray  # uint32[ceil(N/32)] sampled-row marks
     b_occ: jnp.ndarray  # int32[N//64+1]
     lookup: jnp.ndarray  # int32[4^LOOKUP_LEN + 1]
+    # device-only fusion of the two occ levels (not serialized): the
+    # absolute count of each symbol before every 16-symbol block, so an
+    # LF step costs ONE table gather instead of two -- backward search
+    # is gather-bound on TPU (~15ms per 1M gathered elements).
+    occf: jnp.ndarray  # int32[N//16+1, 4]
 
 
 # ---------------------------------------------------------------------------
@@ -159,8 +165,18 @@ def build_index_device(text: jnp.ndarray, sa: jnp.ndarray, sa_intv: int):
 
     lookup = jnp.array([0, N], jnp.int32)  # placeholder; LOOKUP_LEN=0 form
     return FMArrays(
-        bwt_words, occ1, occ2, cnt, pri, sa_samp, b_words, b_occ, lookup
+        bwt_words, occ1, occ2, cnt, pri, sa_samp, b_words, b_occ, lookup,
+        _fuse_occ(occ1, occ2),
     )
+
+
+def _fuse_occ(occ1: jnp.ndarray, occ2: jnp.ndarray) -> jnp.ndarray:
+    """occf[j] = occ1[j // 16] + occ2[j]: per-16-block absolute symbol
+    counts. Device-side only; the serialized ``.fmi`` keeps the
+    reference's two-level layout (fm_index.hpp:106-128) byte-exactly."""
+    nb2 = occ2.shape[0]
+    reps = jnp.repeat(occ1, OCC1_INTV // OCC2_INTV, axis=0)[:nb2]
+    return (reps + occ2).astype(jnp.int32)
 
 
 def _blocked_counts_bool(flags: jnp.ndarray, block: int) -> jnp.ndarray:
@@ -184,8 +200,7 @@ def _occ(idx: FMArrays, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     beg = i - i % OCC2_INTV
     pass_pri = (c == 0) & (beg <= idx.pri) & (idx.pri < i)
     return (
-        idx.occ1[i // OCC1_INTV, c]
-        + idx.occ2[i // OCC2_INTV, c]
+        idx.occf[i // OCC2_INTV, c]
         + partial_cnt
         - pass_pri.astype(jnp.int32)
     )
@@ -568,6 +583,10 @@ class FMIndex:
             b_words=jnp.asarray(b_words),
             b_occ=jnp.asarray(b_occ.astype(np.int32)),
             lookup=jnp.asarray(lookup.astype(np.int32)),
+            occf=_fuse_occ(
+                jnp.asarray(occ1.astype(np.int32)),
+                jnp.asarray(occ2.astype(np.int32)),
+            ),
         )
         return self
 
