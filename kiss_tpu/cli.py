@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     fb = sub.add_parser("fmindex_build", help="build and save an FM-index")
     _add_generic(fb)
+    fb.add_argument(
+        "-l", "--lookup-len", type=int, default=0, dest="lookup_len",
+        help="seed-table depth: precompute ranges of all 4^L length-L "
+        "seeds so queries skip their last L backward-search steps "
+        "(reference FMIndex LOOKUP_LEN parameter, fm_index.hpp:237-269; "
+        "the reference CLI uses 0). Queries read it from the archive.",
+    )
     fb.add_argument("fasta", help="FASTA/text file path")
 
     fq = sub.add_parser("fmindex_query", help="query a saved FM-index")
@@ -133,7 +140,7 @@ def suffix_sort_main(args) -> None:
 def fmindex_build_main(args) -> None:
     _reject_generic(args)
     seq = _read_folded(args.fasta)
-    fmi = FMIndex(sa_intv=4, lookup_len=0)
+    fmi = FMIndex(sa_intv=4, lookup_len=args.lookup_len)
     fmi.build(seq)
     with open(args.fasta + ".fmi", "wb") as fout:
         fmi.save(fout)

@@ -234,14 +234,22 @@ def _b_at(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
     return ((idx.b_words[i // 32] >> (i % 32).astype(jnp.uint32)) & 1) == 1
 
 
-@partial(jax.jit, static_argnames=("lookup_len",))
-def get_range_device(idx: FMArrays, queries: jnp.ndarray, lookup_len: int):
+@partial(jax.jit, static_argnames=("lookup_len", "early_stop"))
+def get_range_device(idx: FMArrays, queries: jnp.ndarray, lookup_len: int,
+                     early_stop: bool = True):
     """Backward search for a batch of equal-length patterns.
 
     queries: int8[Q, m], symbols 0..3. Returns (beg, end, offs) int32[Q]
     -- offs is the number of unmatched leading characters (0 on success),
     matching compute_range's early-stop semantics
     (reference: fm_index.hpp:224-235 with stop_upper = 1).
+
+    ``early_stop=False`` keeps LF-walking an empty range (beg == end
+    move together monotonically) -- required when building the lookup
+    table, where absent seeds must still store their sorted insertion
+    point so the table stays nondecreasing (the reference's
+    build_lookup runs the full loop for the same reason,
+    fm_index.hpp:237-269).
     """
     q, m = queries.shape
     N = jnp.int32(idx.lookup[-1])
@@ -269,12 +277,15 @@ def get_range_device(idx: FMArrays, queries: jnp.ndarray, lookup_len: int):
         c = lax.dynamic_slice_in_dim(queries, j, 1, axis=1)[:, 0].astype(
             jnp.int32
         )
-        alive = end > beg
         nbeg = _lf(idx, c, beg)
         nend = _lf(idx, c, end)
-        beg = jnp.where(alive, nbeg, beg)
-        end = jnp.where(alive, nend, end)
-        offs = jnp.where(alive, j, offs)
+        if early_stop:
+            alive = end > beg
+            beg = jnp.where(alive, nbeg, beg)
+            end = jnp.where(alive, nend, end)
+            offs = jnp.where(alive, j, offs)
+        else:
+            beg, end, offs = nbeg, nend, j * jnp.ones_like(offs)
         return beg, end, offs
 
     beg, end, offs = lax.fori_loop(0, steps, step, (beg, end, offs))
@@ -392,13 +403,14 @@ class FMIndex:
         if self.lookup_len == 0:
             lookup = jnp.array([0, N], jnp.int32)
         else:
+            # seeds generated on device: the 4^L x L host array would
+            # otherwise dominate build time over slow host->device links
             L = self.lookup_len
-            keys = np.arange(4**L, dtype=np.int64)
-            seeds = np.empty((4**L, L), dtype=np.int8)
-            for j in range(L):
-                seeds[:, j] = (keys >> (2 * (L - 1 - j))) & 3
+            keys = jnp.arange(4**L, dtype=jnp.int32)
+            shifts = 2 * jnp.arange(L - 1, -1, -1, dtype=jnp.int32)
+            seeds = ((keys[:, None] >> shifts[None, :]) & 3).astype(jnp.int8)
             beg, _end, _ = get_range_device(
-                self.arrays, jnp.asarray(seeds), 0
+                self.arrays, seeds, 0, early_stop=False
             )
             lookup = jnp.concatenate(
                 [beg.astype(jnp.int32), jnp.array([N], jnp.int32)]

@@ -62,3 +62,34 @@ def test_build_then_query(fa_path, tmp_path):
 
 def test_version():
     assert cli.main(["-v"]) == 0
+
+
+def test_fmindex_build_lookup_len_roundtrip(tmp_path, capsys):
+    """--lookup-len writes the seed table into the archive and queries
+    pick it up transparently (counts/positions unchanged)."""
+    import numpy as np
+
+    from kiss_tpu.cli import main
+    from kiss_tpu.utils import codec, fasta
+
+    rng = np.random.default_rng(5)
+    text = rng.integers(0, 4, 3000).astype(np.int8)
+    pat = codec.to_istring("GATTACAGA")
+    text[700 : 700 + len(pat)] = pat
+    text[2200 : 2200 + len(pat)] = pat
+    fa = tmp_path / "ref.fa"
+    fasta.write_fasta(str(fa), [fasta.FastaRecord("chr", text)])
+
+    assert main(["fmindex_build", str(fa), "--lookup-len", "4"]) == 0
+    assert main(["fmindex_query", str(fa), "-q", "GATTACAGA", "-n", "5"]) == 0
+    # the loaded index derives lookup_len=4 from the archive
+    from kiss_tpu.models.fm_index import FMIndex
+
+    fmi = FMIndex(sa_intv=4)
+    with open(str(fa) + ".fmi", "rb") as fin:
+        fmi.load(fin)
+    assert fmi.lookup_len == 4
+    assert fmi.arrays.lookup.shape[0] == 4**4 + 1
+    beg, end, _ = fmi.get_range(codec.to_istring("GATTACAGA"))
+    assert end - beg == 2
+    assert sorted(fmi.get_offsets(beg, end).tolist()) == [700, 2200]

@@ -173,3 +173,34 @@ def test_sa_intv_1():
     np.testing.assert_array_equal(
         np.sort(hits), np.sort(oracle.search_all(text, q))
     )
+
+
+def test_lookup_table_absent_seeds_monotone():
+    """Seeds absent from the text must store their sorted insertion
+    point, keeping the table nondecreasing (the reference asserts this,
+    fm_index.hpp:265-268); a stale early-stop value here produced
+    beg > end ranges for absent patterns."""
+    from tests import oracle
+
+    text = oracle.random_dna(500, seed=11)
+    fmi = FMIndex(sa_intv=4, lookup_len=6).build(text)
+    lut = np.asarray(fmi.arrays.lookup).astype(np.int64)
+    assert lut.shape[0] == 4**6 + 1
+    assert (np.diff(lut) >= 0).all()
+    # an absent pattern must report zero occurrences, not a bogus range
+    import itertools
+
+    present = {
+        tuple(text[i : i + 6].tolist()) for i in range(len(text) - 5)
+    }
+    absent = next(
+        p for p in itertools.product(range(4), repeat=6)
+        if p not in present
+    )
+    q = np.array(absent, dtype=np.int8)
+    beg, end, _ = fmi.get_range(q)
+    assert end - beg == 0
+    plain = FMIndex(sa_intv=4, lookup_len=0).build(text)
+    for i in range(0, len(text) - 6, 17):
+        q = text[i : i + 6]
+        assert fmi.get_range(q)[:2] == plain.get_range(q)[:2]

@@ -175,3 +175,35 @@ def test_pack_fields_u32_order_roundtrip():
     )
     for a, b in zip(masked, words2):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+@pytest.mark.parametrize("k", [16, 33, 256, -1])
+def test_device_path_exact(k):
+    """The fully-jitted single-program path (used by bench and SPMD
+    pipelines) must match the host-driven path and the oracle exactly,
+    including the lax.cond round skipping and the traced-cover
+    _full_round used for unbounded sorts."""
+    import jax.numpy as jnp
+
+    from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array_device
+
+    text = oracle.repeat_heavy_dna(3100, unit=37, seed=abs(k))
+    got = np.asarray(
+        k_ordered_suffix_array_device(jnp.asarray(text), k)
+    ).astype(np.uint32)
+    want = oracle.k_ordered_sa(text, None if k == -1 else k)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_path_resolves_early():
+    # a random text resolves well before the unbounded plan's last
+    # round; the cond ladder must still produce the exact full order
+    import jax.numpy as jnp
+
+    from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array_device
+
+    text = oracle.random_dna(5000, seed=3)
+    got = np.asarray(
+        k_ordered_suffix_array_device(jnp.asarray(text), -1)
+    ).astype(np.uint32)
+    np.testing.assert_array_equal(got, oracle.k_ordered_sa(text, None))
