@@ -216,6 +216,24 @@ def _bwt_at(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.int32)
 
 
+def _lf_own_symbol(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
+    """lf(bwt[i], i) with ONE bwt-word gather: the locate walk needs
+    both the symbol at row i and its rank, and they live in the same
+    packed word (compute_sa does the same two reads separately,
+    reference: fm_index.hpp:210-222)."""
+    word = idx.bwt_words[i // OCC2_INTV]
+    off = (i % OCC2_INTV).astype(jnp.uint32)
+    c = ((word >> (2 * off)) & 3).astype(jnp.int32)
+    partial_cnt = pack.count_symbol_prefix(word, c, i % OCC2_INTV).astype(
+        jnp.int32
+    )
+    beg = i - i % OCC2_INTV
+    pass_pri = (c == 0) & (beg <= idx.pri) & (idx.pri < i)
+    return idx.cnt[c] + (
+        idx.occf[i // OCC2_INTV, c] + partial_cnt - pass_pri.astype(jnp.int32)
+    )
+
+
 def _b_rank(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
     """Vectorized compute_b_occ (reference: fm_index.hpp:189-208)."""
     blk = i // B_OCC_INTV
@@ -343,8 +361,7 @@ def locate_rows_device(idx: FMArrays, rows: jnp.ndarray, sa_intv: int):
     steps = jnp.zeros_like(i)
     done = _b_at(idx, i)
     for _ in range(sa_intv - 1):
-        c = _bwt_at(idx, i)
-        nxt = _lf(idx, c, i)
+        nxt = _lf_own_symbol(idx, i)
         i = jnp.where(done, i, nxt)
         steps = steps + jnp.where(done, 0, 1)
         done = _b_at(idx, i)
