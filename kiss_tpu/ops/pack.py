@@ -142,6 +142,31 @@ def clamped_suffix_len(n: int, cover: int) -> jnp.ndarray:
     return jnp.minimum(jnp.uint32(n) - p, jnp.uint32(cover))
 
 
+def fused_end_pos(n: int, cover: int) -> jnp.ndarray:
+    """One word encoding BOTH the shorter-first end-of-text rule and the
+    ascending-position tiebreak for a ``cover``-character key window:
+
+        fused[p] = n - p        if n - p < cover   (a "short" suffix)
+                   p + cover    otherwise.
+
+    Within a group of suffixes whose raw 2-bit key words tie, unsigned
+    order of ``fused`` is exactly (clamped length asc, position asc):
+    short suffixes have pairwise-distinct lengths, so length order IS
+    their order; every short value (< cover) precedes every full value
+    (>= cover); and full-length suffixes order by position. This is the
+    reference comparator contract (kiss1_core.hpp:94-135: ties at >= k
+    chars resolved by ``i < j``; a suffix hitting end-of-text sorts
+    smallest) in bit_length(n) bits -- never more than the position
+    alone, so one uint32 suffices up to chm13 scale for ANY cover.
+
+    Decode: p = n - fused if fused < cover else fused - cover; the
+    clamped length (the group-identity component) is min(fused, cover).
+    """
+    p = jnp.arange(n + 1, dtype=jnp.uint32)
+    ln = jnp.uint32(n) - p
+    return jnp.where(ln < cover, ln, p + jnp.uint32(cover))
+
+
 # ---------------------------------------------------------------------------
 # 2-bit symbol packing (BWT storage / occ rank words)
 # ---------------------------------------------------------------------------

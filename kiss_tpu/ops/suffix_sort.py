@@ -66,8 +66,20 @@ from jax import lax
 from kiss_tpu.ops import pack
 from kiss_tpu.utils import timing
 
-SEED_WORDS = 4  # 32 chars for DNA, 12 for the general alphabet
+SEED_WORDS = 4  # 64 chars for DNA (2-bit packed), 12 for general
 MAX_RANK_KEYS = 8  # widest rank-block sort; coverage multiplies by this
+
+
+def _seed_max(alphabet: pack.Alphabet) -> int:
+    """Widest seed the seed sort covers in SEED_WORDS raw words. DNA uses
+    the 2-bit fast path (16 chars/word; end-of-text + position fused into
+    ONE extra word by :func:`pack.fused_end_pos`), so 64 chars cost 5
+    sort operands -- fewer total sorted words than a 32-char seed plus a
+    wider rank-block round (sort cost on TPU scales with operand count:
+    see ROADMAP "Measured platform facts")."""
+    if alphabet is pack.DNA:
+        return SEED_WORDS * 16
+    return SEED_WORDS * alphabet.chars_per_word
 
 
 # ---------------------------------------------------------------------------
@@ -114,7 +126,7 @@ def _decompose(target: int, levels: list[int], seed: int):
 
 
 def _make_plan(n: int, k: int | None, alphabet: pack.Alphabet) -> _SortPlan:
-    seed_max = SEED_WORDS * alphabet.chars_per_word
+    seed_max = _seed_max(alphabet)
     unbounded = k is None or k < 0 or k > n
     if unbounded:
         # comparing n characters fully distinguishes all suffixes
@@ -296,28 +308,33 @@ def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
     (sa, rank, done); rank/done are dummies when ``with_rank`` is False
     (i.e. the seed alone covers k).
 
-    DNA fast path: raw 2-bit packed words (16 chars/operand) with the
-    clamped suffix length and the position fused into the final word,
-    run as one UNSTABLE total-order sort -- 3 operands for the standard
-    32-char seed instead of 5 stable ones.
+    DNA fast path: raw 2-bit packed words (16 chars/operand) plus ONE
+    word fusing the end-of-text rule with the position
+    (:func:`pack.fused_end_pos` -- bit_length(n) bits for any seed
+    width), run as one UNSTABLE total-order sort: 5 operands for the
+    standard 64-char seed, at chm13 scale included.
     """
     n = text.shape[0]
-    posbits = max(int(n).bit_length(), 1)
-    lenbits = max(int(seed_chars).bit_length(), 1)
-    if alphabet is pack.DNA and lenbits + posbits <= 32:
+    if alphabet is pack.DNA:
         words2 = pack.suffix_key_words_2bit(text, seed_chars, 0)
-        lens = pack.clamped_suffix_len(n, seed_chars)
-        pos = jnp.arange(n + 1, dtype=jnp.uint32)
+        fused = pack.fused_end_pos(n, seed_chars)
+        fbits = max(int(n).bit_length(), 1)
         packed, places = _pack_fields(
-            [(w, 32, False) for w in words2]
-            + [(lens, lenbits, False), (pos, posbits, True)]
+            [(w, 32, False) for w in words2] + [(fused, fbits, True)]
         )
         ops = sort_impl(tuple(packed), num_keys=len(packed), is_stable=False)
-        sa = _extract_field(ops, places[-1]).astype(_pos_dtype(n))
+        fused_s = _extract_field(ops, places[-1])
+        cov = jnp.uint32(seed_chars)
+        sa = jnp.where(
+            fused_s < cov, jnp.uint32(n) - fused_s, fused_s - cov
+        ).astype(_pos_dtype(n))
         if not with_rank:
             return sa, sa, jnp.bool_(True)
+        # group identity = raw key words + clamped length (decoded from
+        # the fused word; its position part must NOT split groups)
+        lenc = jnp.minimum(fused_s, cov)
         rank, done = _ranks_of_sorted(
-            _mask_field(list(ops), places[-1]), sa, sort_impl
+            list(ops[:-1]) + [lenc], sa, sort_impl
         )
         return sa, rank, done
 
