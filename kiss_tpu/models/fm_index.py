@@ -99,22 +99,33 @@ def _blocked_counts(bwt: jnp.ndarray, valid: jnp.ndarray, block: int):
     return onehot.reshape(nblk, block, 4).sum(axis=1, dtype=jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("sa_intv",))
-def build_index_device(text: jnp.ndarray, sa: jnp.ndarray, sa_intv: int):
-    """text int8[n], sa int32[N=n+1] -> FMArrays (without lookup).
+def _index_dtype(N: int, force_u32: bool = False):
+    """Row/position/count dtype for an index with N rows: int32 when it
+    fits (friendlier to XLA int indexing), uint32 up to chm13 scale
+    (n = 3.117e9 > 2**31; see ROADMAP chm13 item). ``force_u32`` lets
+    tests exercise the uint32 path on small corpora."""
+    return jnp.uint32 if force_u32 or N >= 2**31 else jnp.int32
+
+
+@partial(jax.jit, static_argnames=("sa_intv", "force_u32"))
+def build_index_device(text: jnp.ndarray, sa: jnp.ndarray, sa_intv: int,
+                       force_u32: bool = False):
+    """text int8[n], sa int/uint32[N=n+1] -> FMArrays (without lookup).
 
     Mirrors build_occ/build_bwt/build_sa (reference: fm_index.hpp:277-371)
     as pure dataflow.
     """
     n = text.shape[0]
     N = n + 1
-    sa = sa.astype(jnp.int32)
+    idt = _index_dtype(N, force_u32)
+    sa = sa.astype(idt)
 
     # ---- BWT: bwt[i] = ref[sa[i]-1], 0 at the sentinel row
-    # (reference: fm_index.hpp:310-329)
-    prev = jnp.maximum(sa - 1, 0)
+    # (reference: fm_index.hpp:310-329); sa - 1 guarded against uint32
+    # wraparound at the sentinel.
+    prev = jnp.where(sa == 0, jnp.zeros((), idt), sa - 1)
     bwt = jnp.where(sa == 0, jnp.int8(0), text[prev]).astype(jnp.int8)
-    pri = jnp.argmin(sa).astype(jnp.int32)  # row with sa == 0
+    pri = jnp.argmin(sa).astype(idt)  # row with sa == 0
     bwt_words = pack.pack_dibits_u32(bwt)
 
     # ---- occ tables (reference: fm_index.hpp:277-308): the sentinel row
@@ -127,21 +138,23 @@ def build_index_device(text: jnp.ndarray, sa: jnp.ndarray, sa_intv: int):
     npad2 = nb1 * blocks_per_sup
     c16p = jnp.zeros((npad2, 4), jnp.int32).at[: c16.shape[0]].set(c16)
     grp = c16p.reshape(nb1, blocks_per_sup, 4)
-    # occ2: exclusive cumsum within each 256-superblock
+    # occ2: exclusive cumsum within each 256-superblock (content fits
+    # uint8; full counts only at the occ1 level)
     occ2_full = jnp.cumsum(grp, axis=1) - grp
-    occ2 = occ2_full.reshape(npad2, 4)[:nb2]
-    # occ1: exclusive cumsum of superblock totals
-    sup_tot = grp.sum(axis=1)
+    occ2 = occ2_full.reshape(npad2, 4)[:nb2].astype(jnp.int32)
+    # occ1: exclusive cumsum of superblock totals; counts reach N, so
+    # accumulate in the index dtype
+    sup_tot = grp.sum(axis=1).astype(idt)
     occ1 = (jnp.cumsum(sup_tot, axis=0) - sup_tot)[:nb1]
     totals = sup_tot.sum(axis=0)
     # cnt[c] = 1 + sum of totals of smaller symbols (the +1 is the
     # sentinel, reference: fm_index.hpp:303-307)
-    cnt = (jnp.cumsum(totals) - totals + 1).astype(jnp.int32)
+    cnt = (jnp.cumsum(totals) - totals + 1).astype(idt)
 
     # ---- sampled SA + marks (reference: fm_index.hpp:331-371)
     if sa_intv == 1:
         b_words = jnp.zeros(1, jnp.uint32)
-        b_occ = jnp.zeros(1, jnp.int32)
+        b_occ = jnp.zeros(1, idt)
         sa_samp = sa
     else:
         b = sa % sa_intv == 0
@@ -155,15 +168,15 @@ def build_index_device(text: jnp.ndarray, sa: jnp.ndarray, sa_intv: int):
             .sum(axis=1)
             .astype(jnp.uint32)
         )
-        c64 = _blocked_counts_bool(b, B_OCC_INTV)
+        c64 = _blocked_counts_bool(b, B_OCC_INTV).astype(idt)
         nb64 = N // B_OCC_INTV + 1
         c64 = c64[:nb64]
-        b_occ = (jnp.cumsum(c64) - c64).astype(jnp.int32)
+        b_occ = (jnp.cumsum(c64) - c64).astype(idt)
         n_samp = (N + sa_intv - 1) // sa_intv
         (samp_idx,) = jnp.nonzero(b, size=n_samp, fill_value=0)
         sa_samp = sa[samp_idx]
 
-    lookup = jnp.array([0, N], jnp.int32)  # placeholder; LOOKUP_LEN=0 form
+    lookup = jnp.array([0, N], idt)  # placeholder; LOOKUP_LEN=0 form
     return FMArrays(
         bwt_words, occ1, occ2, cnt, pri, sa_samp, b_words, b_occ, lookup,
         _fuse_occ(occ1, occ2),
@@ -176,7 +189,7 @@ def _fuse_occ(occ1: jnp.ndarray, occ2: jnp.ndarray) -> jnp.ndarray:
     reference's two-level layout (fm_index.hpp:106-128) byte-exactly."""
     nb2 = occ2.shape[0]
     reps = jnp.repeat(occ1, OCC1_INTV // OCC2_INTV, axis=0)[:nb2]
-    return (reps + occ2).astype(jnp.int32)
+    return (reps + occ2.astype(occ1.dtype)).astype(occ1.dtype)
 
 
 def _blocked_counts_bool(flags: jnp.ndarray, block: int) -> jnp.ndarray:
@@ -192,17 +205,19 @@ def _blocked_counts_bool(flags: jnp.ndarray, block: int) -> jnp.ndarray:
 
 
 def _occ(idx: FMArrays, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized compute_occ (reference: fm_index.hpp:166-182)."""
+    """Vectorized compute_occ (reference: fm_index.hpp:166-182). All
+    arithmetic in the index dtype (int32, or uint32 at chm13 scale --
+    see :func:`_index_dtype`); the pass_pri subtraction never underflows
+    because it implies the sentinel's packed symbol was counted."""
+    idt = idx.occf.dtype
     word = idx.bwt_words[i // OCC2_INTV]
-    partial_cnt = pack.count_symbol_prefix(word, c, i % OCC2_INTV).astype(
-        jnp.int32
-    )
+    partial_cnt = pack.count_symbol_prefix(word, c, i % OCC2_INTV).astype(idt)
     beg = i - i % OCC2_INTV
     pass_pri = (c == 0) & (beg <= idx.pri) & (idx.pri < i)
     return (
         idx.occf[i // OCC2_INTV, c]
         + partial_cnt
-        - pass_pri.astype(jnp.int32)
+        - pass_pri.astype(idt)
     )
 
 
@@ -221,16 +236,15 @@ def _lf_own_symbol(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
     both the symbol at row i and its rank, and they live in the same
     packed word (compute_sa does the same two reads separately,
     reference: fm_index.hpp:210-222)."""
+    idt = idx.occf.dtype
     word = idx.bwt_words[i // OCC2_INTV]
     off = (i % OCC2_INTV).astype(jnp.uint32)
     c = ((word >> (2 * off)) & 3).astype(jnp.int32)
-    partial_cnt = pack.count_symbol_prefix(word, c, i % OCC2_INTV).astype(
-        jnp.int32
-    )
+    partial_cnt = pack.count_symbol_prefix(word, c, i % OCC2_INTV).astype(idt)
     beg = i - i % OCC2_INTV
     pass_pri = (c == 0) & (beg <= idx.pri) & (idx.pri < i)
     return idx.cnt[c] + (
-        idx.occf[i // OCC2_INTV, c] + partial_cnt - pass_pri.astype(jnp.int32)
+        idx.occf[i // OCC2_INTV, c] + partial_cnt - pass_pri.astype(idt)
     )
 
 
@@ -240,12 +254,16 @@ def _b_rank(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
     off = i - blk * B_OCC_INTV  # 0..63
     w0 = idx.b_words[2 * blk]
     w1 = idx.b_words[2 * blk + 1]
+    # off may be unsigned: compute the second-word bit count without
+    # ever forming a negative intermediate
     lo = jnp.minimum(off, 32).astype(jnp.uint32)
-    hi = jnp.maximum(off - 32, 0).astype(jnp.uint32)
+    hi = jnp.where(off > 32, off - 32, jnp.zeros((), off.dtype)).astype(
+        jnp.uint32
+    )
     m0 = jnp.where(lo >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << lo) - 1)
     m1 = jnp.where(hi >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << hi) - 1)
     cnt = pack.popcount_u32(w0 & m0) + pack.popcount_u32(w1 & m1)
-    return idx.b_occ[blk] + cnt.astype(jnp.int32)
+    return idx.b_occ[blk] + cnt.astype(idx.b_occ.dtype)
 
 
 def _b_at(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
@@ -270,9 +288,9 @@ def get_range_device(idx: FMArrays, queries: jnp.ndarray, lookup_len: int,
     fm_index.hpp:237-269).
     """
     q, m = queries.shape
-    N = jnp.int32(idx.lookup[-1])
-    beg = jnp.zeros(q, jnp.int32)
-    end = jnp.full(q, N, jnp.int32)
+    idt = idx.lookup.dtype  # int32, or uint32 at chm13 scale
+    beg = jnp.zeros(q, idt)
+    end = jnp.full(q, idx.lookup[-1], idt)
     steps = m
     if lookup_len and m >= lookup_len:
         # seed from the lookup table on the last lookup_len characters
@@ -333,12 +351,12 @@ def batch_locate_stats_device(
     """
     lens = end - beg
     starts = jnp.cumsum(lens) - lens  # exclusive prefix
-    r = jnp.arange(capacity, dtype=jnp.int32)
+    r = jnp.arange(capacity, dtype=lens.dtype)
     q = jnp.searchsorted(starts, r, side="right") - 1
     rows = beg[q] + (r - starts[q])
     total = starts[-1] + lens[-1]
     valid = r < total
-    rows = jnp.where(valid, rows, 0)
+    rows = jnp.where(valid, rows, jnp.zeros((), rows.dtype))
     pos = locate_rows_device(idx, rows, sa_intv).astype(jnp.uint32)
     pos = jnp.where(valid, pos, 0)
     lo = (pos & 0xFFFF).astype(jnp.int32).reshape(-1, _CHK_CHUNK)
@@ -357,13 +375,16 @@ def locate_rows_device(idx: FMArrays, rows: jnp.ndarray, sa_intv: int):
     """
     if sa_intv == 1:
         return idx.sa_samp[rows]
-    i = rows.astype(jnp.int32)
+    idt = idx.sa_samp.dtype
+    i = rows.astype(idt)
     steps = jnp.zeros_like(i)
+    one = jnp.ones((), idt)
+    zero = jnp.zeros((), idt)
     done = _b_at(idx, i)
     for _ in range(sa_intv - 1):
         nxt = _lf_own_symbol(idx, i)
         i = jnp.where(done, i, nxt)
-        steps = steps + jnp.where(done, 0, 1)
+        steps = steps + jnp.where(done, zero, one)
         done = _b_at(idx, i)
     return idx.sa_samp[_b_rank(idx, i)] + steps
 
@@ -387,6 +408,13 @@ class FMIndex:
     lookup_len: int = 0
     arrays: FMArrays | None = None
     n_rows: int = 0  # N = n + 1
+    # force the uint32 index dtype on small corpora (testing hook; texts
+    # with n + 1 >= 2**31 switch automatically, see _index_dtype)
+    force_u32: bool = False
+
+    @property
+    def index_dtype(self):
+        return _index_dtype(self.n_rows, self.force_u32)
 
     # -- build ------------------------------------------------------------
 
@@ -397,15 +425,18 @@ class FMIndex:
         array is supplied, sorts the full suffix order (see SORT_LEN
         note; the reference's counterpart is fm_index.hpp:379-388)."""
         ref = np.ascontiguousarray(ref, dtype=np.int8)
+        idt = _index_dtype(len(ref) + 1, self.force_u32)
         if sa is None:
             sa = k_ordered_suffix_array(
                 ref, -1 if sort_len is None else sort_len, as_numpy=False
             )
-        sa = jnp.asarray(np.asarray(sa).astype(np.int32)) if isinstance(
+        sa = jnp.asarray(np.asarray(sa).astype(idt)) if isinstance(
             sa, np.ndarray
-        ) else sa.astype(jnp.int32)
+        ) else sa.astype(idt)
         with timing.stage("fmindex build") as out:
-            arrays = build_index_device(jnp.asarray(ref), sa, self.sa_intv)
+            arrays = build_index_device(
+                jnp.asarray(ref), sa, self.sa_intv, self.force_u32
+            )
             out["block_on"] = arrays
         self.arrays = arrays
         self.n_rows = len(ref) + 1
@@ -417,8 +448,9 @@ class FMIndex:
         reference fans a backward search of every fixed-length seed out
         over std::threads; here it is one batched get_range call."""
         N = self.n_rows
+        idt = self.index_dtype
         if self.lookup_len == 0:
-            lookup = jnp.array([0, N], jnp.int32)
+            lookup = jnp.array([0, N], idt)
         else:
             # seeds generated on device: the 4^L x L host array would
             # otherwise dominate build time over slow host->device links
@@ -430,7 +462,7 @@ class FMIndex:
                 self.arrays, seeds, 0, early_stop=False
             )
             lookup = jnp.concatenate(
-                [beg.astype(jnp.int32), jnp.array([N], jnp.int32)]
+                [beg.astype(idt), jnp.array([N], idt)]
             )
         self.arrays = self.arrays._replace(lookup=lookup)
 
@@ -452,7 +484,8 @@ class FMIndex:
         return np.asarray(beg), np.asarray(end), np.asarray(offs)
 
     def locate_rows(self, rows: np.ndarray) -> np.ndarray:
-        rows = np.ascontiguousarray(rows, dtype=np.int32)
+        idt = np.dtype(self.index_dtype)
+        rows = np.ascontiguousarray(rows).astype(idt)
         if rows.size == 0:
             return np.empty(0, dtype=np.uint32)
         # pad to a power-of-two bucket so repeated queries with varying
@@ -461,7 +494,7 @@ class FMIndex:
         cap = 64
         while cap < rows.size:
             cap *= 2
-        padded = np.zeros(cap, dtype=np.int32)
+        padded = np.zeros(cap, dtype=idt)
         padded[: rows.size] = rows
         out = locate_rows_device(
             self.arrays, jnp.asarray(padded), self.sa_intv
@@ -506,7 +539,7 @@ class FMIndex:
         rows = np.repeat(beg.astype(np.int64), lens) + (
             np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lens)
         )
-        positions = self.locate_rows(rows.astype(np.int32))
+        positions = self.locate_rows(rows)
         return lens, positions, starts
 
     def batch_query_stats(self, queries: np.ndarray) -> tuple[int, int]:
@@ -602,20 +635,20 @@ class FMIndex:
 
         self.n_rows = N
         self.lookup_len = max(len(lookup) - 1, 1).bit_length() // 2
+        idt = np.dtype(_index_dtype(N, self.force_u32))
+        occ1_d = jnp.asarray(occ1.astype(idt))
+        occ2_d = jnp.asarray(occ2.astype(np.int32))
         self.arrays = FMArrays(
             bwt_words=jnp.asarray(bwt_words),
-            occ1=jnp.asarray(occ1.astype(np.int32)),
-            occ2=jnp.asarray(occ2.astype(np.int32)),
-            cnt=jnp.asarray(cnt.astype(np.int32)),
-            pri=jnp.asarray(np.int32(pri)),
-            sa_samp=jnp.asarray(sa_samp.astype(np.int32)),
+            occ1=occ1_d,
+            occ2=occ2_d,
+            cnt=jnp.asarray(cnt.astype(idt)),
+            pri=jnp.asarray(pri.astype(idt)),
+            sa_samp=jnp.asarray(sa_samp.astype(idt)),
             b_words=jnp.asarray(b_words),
-            b_occ=jnp.asarray(b_occ.astype(np.int32)),
-            lookup=jnp.asarray(lookup.astype(np.int32)),
-            occf=_fuse_occ(
-                jnp.asarray(occ1.astype(np.int32)),
-                jnp.asarray(occ2.astype(np.int32)),
-            ),
+            b_occ=jnp.asarray(b_occ.astype(idt)),
+            lookup=jnp.asarray(lookup.astype(idt)),
+            occf=_fuse_occ(occ1_d, occ2_d),
         )
         return self
 

@@ -204,3 +204,54 @@ def test_lookup_table_absent_seeds_monotone():
     for i in range(0, len(text) - 6, 17):
         q = text[i : i + 6]
         assert fmi.get_range(q)[:2] == plain.get_range(q)[:2]
+
+
+def test_uint32_index_path():
+    """chm13-scale texts (N >= 2**31) switch every index array to
+    uint32 (fm_index._index_dtype); force_u32 exercises that whole
+    build/query/serialize path on a small corpus and requires exact
+    agreement with the default int32 path."""
+    import jax.numpy as jnp
+
+    text = oracle.random_dna(20_000, seed=99)
+    fmi32 = FMIndex(sa_intv=4, lookup_len=3).build(text)
+    fmiu = FMIndex(sa_intv=4, lookup_len=3, force_u32=True).build(text)
+    a = fmiu.arrays
+    for name in ("occ1", "cnt", "pri", "sa_samp", "b_occ", "lookup", "occf"):
+        assert getattr(a, name).dtype == jnp.uint32, name
+
+    rng = np.random.default_rng(12)
+    queries = [
+        text[int(p) : int(p) + 13]
+        for p in rng.integers(0, len(text) - 13, 25)
+    ] + [rng.integers(0, 4, 13).astype(np.int8) for _ in range(25)]
+    queries = np.stack(queries)
+    b32, e32, o32 = fmi32.get_ranges(queries)
+    bu, eu, ou = fmiu.get_ranges(queries)
+    np.testing.assert_array_equal(b32, bu.astype(np.int64))
+    np.testing.assert_array_equal(e32, eu.astype(np.int64))
+    np.testing.assert_array_equal(o32, ou)
+
+    lens, positions, starts = fmiu.batch_query(queries)
+    for qi in range(len(queries)):
+        want = oracle.search_all(text, queries[qi])
+        assert lens[qi] == len(want)
+        np.testing.assert_array_equal(
+            np.sort(positions[starts[qi] : starts[qi + 1]]), np.sort(want)
+        )
+    assert fmiu.batch_query_stats(queries) == fmi32.batch_query_stats(queries)
+
+    # serialization is dtype-independent (the .fmi layout is u32 raw)
+    import io as _io
+
+    bufu, buf32 = _io.BytesIO(), _io.BytesIO()
+    fmiu.save(bufu)
+    fmi32.save(buf32)
+    assert bufu.getvalue() == buf32.getvalue()
+    # loading with force_u32 keeps the uint32 dtype and query behavior
+    fmi_loaded = FMIndex(sa_intv=4, force_u32=True).load(
+        _io.BytesIO(bufu.getvalue())
+    )
+    assert fmi_loaded.arrays.cnt.dtype == jnp.uint32
+    q = text[500:513]
+    assert fmi_loaded.get_range(q) == fmi32.get_range(q)
