@@ -328,6 +328,95 @@ def get_range_device(idx: FMArrays, queries: jnp.ndarray, lookup_len: int,
     return beg, end, offs
 
 
+@partial(jax.jit, static_argnames=("qlen", "lookup_len", "early_stop"))
+def get_range_packed_device(idx: FMArrays, qwords: jnp.ndarray, qlen: int,
+                            lookup_len: int, early_stop: bool = True):
+    """Backward search over 2-bit PACKED patterns.
+
+    ``qwords``: uint32[Q, ceil(qlen/16)] from
+    :func:`kiss_tpu.ops.pack.np_pack_queries_2bit` (symbol j of query q
+    at bits ``2*(j%16)`` of word ``j//16``). Semantically identical to
+    :func:`get_range_device`; the packed form exists because the
+    host->device pattern transfer dominates the batch query path on
+    tunneled links, and packing cuts it 4x. Unpacking one symbol per LF
+    step is a word gather of Q elements plus two VPU ops -- noise next
+    to the occ-table gather the step already does.
+    """
+    q = qwords.shape[0]
+    idt = idx.lookup.dtype
+    beg = jnp.zeros(q, idt)
+    end = jnp.full(q, idx.lookup[-1], idt)
+    steps = qlen
+
+    def char_static(j: int):
+        return (
+            (qwords[:, j // 16] >> jnp.uint32(2 * (j % 16))) & 3
+        ).astype(jnp.int32)
+
+    if lookup_len and qlen >= lookup_len:
+        # seed from the lookup table on the last lookup_len characters
+        # (reference: fm_index.hpp:574-584)
+        key = jnp.zeros(q, jnp.int32)
+        for j in range(qlen - lookup_len, qlen):
+            key = (key << 2) | char_static(j)
+        beg = idx.lookup[key]
+        end = idx.lookup[key + 1]
+        steps = qlen - lookup_len
+
+    offs = jnp.full(q, steps, jnp.int32)
+
+    def step(t, carry):
+        beg, end, offs = carry
+        j = steps - 1 - t
+        w = lax.dynamic_slice_in_dim(qwords, j // 16, 1, axis=1)[:, 0]
+        c = ((w >> (2 * (j % 16)).astype(jnp.uint32)) & 3).astype(jnp.int32)
+        nbeg = _lf(idx, c, beg)
+        nend = _lf(idx, c, end)
+        if early_stop:
+            alive = end > beg
+            beg = jnp.where(alive, nbeg, beg)
+            end = jnp.where(alive, nend, end)
+            offs = jnp.where(alive, j, offs)
+        else:
+            beg, end, offs = nbeg, nend, j * jnp.ones_like(offs)
+        return beg, end, offs
+
+    beg, end, offs = lax.fori_loop(0, steps, step, (beg, end, offs))
+    return beg, end, offs
+
+
+# chunk size for host batch queries: big enough that the per-dispatch
+# cost is amortized, small enough that the host->device transfer of
+# chunk i+1 overlaps the backward search of chunk i (dispatch is async)
+_Q_CHUNK = 1 << 18
+
+
+def _ranges_chunked(idx: FMArrays, queries: np.ndarray, lookup_len: int):
+    """Pack patterns 2-bit on the host, ship them chunk-wise (transfers
+    overlap compute), and return device-resident (beg, end) arrays."""
+    from kiss_tpu.ops.pack import np_pack_queries_2bit
+
+    Q, m = queries.shape
+    qwords = np_pack_queries_2bit(queries)
+    if Q <= _Q_CHUNK:
+        parts = [jax.device_put(qwords)]
+    else:
+        parts = [
+            jax.device_put(qwords[i : i + _Q_CHUNK])
+            for i in range(0, Q, _Q_CHUNK)
+        ]
+    outs = [
+        get_range_packed_device(idx, part, m, lookup_len) for part in parts
+    ]
+    if len(outs) == 1:
+        beg, end, offs = outs[0]
+    else:
+        beg = jnp.concatenate([o[0] for o in outs])
+        end = jnp.concatenate([o[1] for o in outs])
+        offs = jnp.concatenate([o[2] for o in outs])
+    return beg, end, offs
+
+
 _CHK_CHUNK = 128
 
 
@@ -476,10 +565,14 @@ class FMIndex:
         return int(beg[0]), int(end[0]), int(offs[0])
 
     def get_ranges(self, queries: np.ndarray):
-        """Batch backward search: queries int8[Q, m] -> 3 x int32[Q]."""
+        """Batch backward search: queries int8[Q, m] -> 3 x int32[Q].
+
+        Patterns cross to the device 2-bit packed in chunks (transfer is
+        the dominant cost of this path on tunneled links; see
+        :func:`get_range_packed_device`)."""
         queries = np.ascontiguousarray(queries, dtype=np.int8)
-        beg, end, offs = get_range_device(
-            self.arrays, jnp.asarray(queries), self.lookup_len
+        beg, end, offs = _ranges_chunked(
+            self.arrays, queries, self.lookup_len
         )
         return np.asarray(beg), np.asarray(end), np.asarray(offs)
 
@@ -550,9 +643,7 @@ class FMIndex:
         queries = np.ascontiguousarray(queries, dtype=np.int8)
         if queries.size == 0:
             return 0, 0
-        beg, end, _ = get_range_device(
-            self.arrays, jnp.asarray(queries), self.lookup_len
-        )
+        beg, end, _ = _ranges_chunked(self.arrays, queries, self.lookup_len)
         total = int(jnp.sum(end - beg))
         if total == 0:
             return 0, 0
@@ -571,8 +662,17 @@ class FMIndex:
 
     def save(self, fout) -> None:
         """Byte-compatible ``.fmi`` writer (reference: fm_index.hpp:
-        591-615 + serializer.hpp layout)."""
+        591-615 + serializer.hpp layout).
+
+        All device->host section transfers are started asynchronously up
+        front, then sections stream to disk in archive order -- on
+        tunneled links the transfers dominate, so they must overlap each
+        other and the disk writes."""
         a = self.arrays
+        for x in (a.cnt, a.pri, a.bwt_words, a.occ1, a.occ2, a.sa_samp,
+                  a.lookup, a.b_words, a.b_occ):
+            if hasattr(x, "copy_to_host_async"):
+                x.copy_to_host_async()
         N = self.n_rows
         cnt = np.asarray(a.cnt).astype(np.uint32)
         fout.write(cnt.tobytes())

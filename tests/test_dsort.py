@@ -1,4 +1,4 @@
-"""Unit tests for the block-bitonic distributed sort."""
+"""Unit tests for the distributed sorts (columnsort + block-bitonic)."""
 
 import jax
 import jax.numpy as jnp
@@ -9,11 +9,20 @@ from kiss_tpu.parallel.dsort import make_sharded_sort_impl
 from kiss_tpu.parallel.mesh import make_mesh
 
 
-@pytest.fixture(scope="module")
-def impl():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 (virtual) devices")
-    return make_sharded_sort_impl(make_mesh(8), "seq")
+def _impl(n_devices, algorithm):
+    if len(jax.devices()) < n_devices:
+        pytest.skip(f"needs {n_devices} (virtual) devices")
+    return make_sharded_sort_impl(make_mesh(n_devices), "seq", algorithm)
+
+
+@pytest.fixture(
+    scope="module",
+    params=[(8, "bitonic"), (8, "columnsort"), (2, "auto"),
+            (3, "columnsort"), (6, "columnsort")],
+    ids=lambda p: f"D{p[0]}-{p[1]}",
+)
+def impl(request):
+    return _impl(*request.param)
 
 
 @pytest.mark.parametrize("n", [8, 4096, 4097, 12345])
@@ -38,3 +47,23 @@ def test_multikey(impl):
     want = jax.lax.sort((a, b, pos), num_keys=2, is_stable=True)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_columnsort_adversarial_orders():
+    """Presorted / reversed / constant / organ-pipe inputs (the classic
+    columnsort boundary cases) on a non-power-of-2 mesh."""
+    impl = _impl(6, "columnsort")
+    n = 7777
+    pos = jnp.arange(n, dtype=jnp.int32)
+    cases = [
+        np.arange(n, dtype=np.uint32),
+        np.arange(n, dtype=np.uint32)[::-1].copy(),
+        np.zeros(n, dtype=np.uint32),
+        np.minimum(np.arange(n), np.arange(n)[::-1]).astype(np.uint32),
+    ]
+    for arr in cases:
+        key = jnp.asarray(arr)
+        got = impl((key, pos), num_keys=1, is_stable=True)
+        want = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -255,3 +255,66 @@ def test_uint32_index_path():
     assert fmi_loaded.arrays.cnt.dtype == jnp.uint32
     q = text[500:513]
     assert fmi_loaded.get_range(q) == fmi32.get_range(q)
+
+
+def test_packed_queries_match_unpacked(built):
+    """get_range_packed_device == get_range_device on the same batch,
+    across pattern lengths straddling the 16-symbol word boundary."""
+    import jax.numpy as jnp
+
+    from kiss_tpu.models.fm_index import (
+        get_range_device,
+        get_range_packed_device,
+    )
+    from kiss_tpu.ops import pack
+
+    text, fmi = built
+    rng = np.random.default_rng(7)
+    for qlen in (1, 15, 16, 17, 33):
+        queries = rng.integers(0, 4, (40, qlen)).astype(np.int8)
+        want = get_range_device(fmi.arrays, jnp.asarray(queries), 0)
+        qwords = pack.np_pack_queries_2bit(queries)
+        got = get_range_packed_device(fmi.arrays, jnp.asarray(qwords), qlen, 0)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_packed_queries_lookup_seeding():
+    """Packed search must seed from the lookup table identically."""
+    import jax.numpy as jnp
+
+    from kiss_tpu.models.fm_index import get_range_packed_device
+    from kiss_tpu.ops import pack
+
+    text = oracle.random_dna(20_000, seed=3)
+    fmi = FMIndex(sa_intv=4, lookup_len=4).build(text)
+    rng = np.random.default_rng(4)
+    queries = rng.integers(0, 4, (50, 18)).astype(np.int8)
+    beg, end, offs = fmi.get_ranges(queries)  # host path (packs internally)
+    qwords = pack.np_pack_queries_2bit(queries)
+    b2, e2, o2 = get_range_packed_device(
+        fmi.arrays, jnp.asarray(qwords), 18, 4
+    )
+    np.testing.assert_array_equal(beg, np.asarray(b2))
+    np.testing.assert_array_equal(end, np.asarray(e2))
+    for qi in range(50):
+        want = oracle.search_all(text, queries[qi])
+        assert int(e2[qi] - b2[qi]) == len(want)
+
+
+def test_ranges_chunked_splits(monkeypatch):
+    """The chunked host path must agree with one-shot over chunk seams."""
+    import kiss_tpu.models.fm_index as fm
+
+    text = oracle.random_dna(10_000, seed=9)
+    fmi = FMIndex(sa_intv=4, lookup_len=0).build(text)
+    rng = np.random.default_rng(11)
+    queries = rng.integers(0, 4, (1000, 9)).astype(np.int8)
+    want = fmi.get_ranges(queries)
+    monkeypatch.setattr(fm, "_Q_CHUNK", 256)
+    got = fmi.get_ranges(queries)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+    occ, chk = fmi.batch_query_stats(queries)
+    counts = sum(len(oracle.search_all(text, q)) for q in queries)
+    assert occ == counts

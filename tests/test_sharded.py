@@ -58,3 +58,62 @@ def test_pipeline_step(mesh):
     # counts agree with brute force
     for qi in range(len(queries)):
         assert int(cnt[qi]) == len(oracle.search_all(text, queries[qi]))
+
+
+def test_row_sharded_index_queries(mesh):
+    """Index sharded over rows (memory-scaling form): counts and located
+    positions must equal the replicated-index path bit for bit."""
+    import jax.numpy as jnp
+
+    from kiss_tpu.ops import pack as kpack
+    from kiss_tpu.parallel import fm_sharded
+
+    text = oracle.genome_like_dna(6000, ancestral=1 << 10, seed=12)
+    fmi = fm.FMIndex(sa_intv=4, lookup_len=0).build(text)
+    rng = np.random.default_rng(2)
+    qlen = 13
+    queries = np.stack(
+        [
+            text[p : p + qlen]
+            for p in rng.integers(0, len(text) - qlen, 24)
+        ]
+        + [rng.integers(0, 4, qlen).astype(np.int8) for _ in range(8)]
+    )
+    sharded = fm_sharded.shard_fm_arrays(mesh, fmi.arrays)
+    qwords = jnp.asarray(kpack.np_pack_queries_2bit(queries))
+    beg_s, end_s, offs_s = fm_sharded.sharded_get_ranges(
+        mesh, sharded, qwords, qlen, 0
+    )
+    beg, end, offs = fmi.get_ranges(queries)
+    np.testing.assert_array_equal(np.asarray(beg_s), beg)
+    np.testing.assert_array_equal(np.asarray(end_s), end)
+    np.testing.assert_array_equal(np.asarray(offs_s), offs)
+
+    # locate every row of the non-empty ranges
+    rows = np.concatenate(
+        [np.arange(b, e) for b, e in zip(beg, end)] or [np.array([], int)]
+    ).astype(np.int32)
+    want = fmi.locate_rows(rows)
+    got = fm_sharded.sharded_locate_rows(
+        mesh, sharded, jnp.asarray(rows), fmi.sa_intv
+    )
+    np.testing.assert_array_equal(np.asarray(got).astype(np.uint32), want)
+
+
+def test_row_sharded_with_lookup(mesh):
+    from kiss_tpu.ops import pack as kpack
+    from kiss_tpu.parallel import fm_sharded
+    import jax.numpy as jnp
+
+    text = oracle.random_dna(4000, seed=13)
+    fmi = fm.FMIndex(sa_intv=4, lookup_len=3).build(text)
+    rng = np.random.default_rng(3)
+    queries = rng.integers(0, 4, (20, 9)).astype(np.int8)
+    sharded = fm_sharded.shard_fm_arrays(mesh, fmi.arrays)
+    qwords = jnp.asarray(kpack.np_pack_queries_2bit(queries))
+    beg_s, end_s, _ = fm_sharded.sharded_get_ranges(
+        mesh, sharded, qwords, 9, 3
+    )
+    beg, end, _ = fmi.get_ranges(queries)
+    np.testing.assert_array_equal(np.asarray(beg_s), beg)
+    np.testing.assert_array_equal(np.asarray(end_s), end)
