@@ -84,6 +84,19 @@ def build_parser() -> argparse.ArgumentParser:
     fb = sub.add_parser("fmindex_build", help="build and save an FM-index")
     _add_generic(fb)
     fb.add_argument(
+        "-k",
+        "--kordered",
+        type=int,
+        default=None,
+        metavar="NUM",
+        help="sort depth of the underlying suffix array; -1 = unbounded. "
+        "The reference declares this flag but hardcodes sort_len = 32 "
+        "(reference: include/utils/options.hpp:133-141 vs "
+        "fm_index.hpp:384-386); here it is honored as the sort depth. "
+        "Default (omitted): a FULLY sorted SA, which keeps locate exact "
+        "for every pattern length (see models/fm_index.py SORT_LEN note).",
+    )
+    fb.add_argument(
         "-l", "--lookup-len", type=int, default=0, dest="lookup_len",
         help="seed-table depth: precompute ranges of all 4^L length-L "
         "seeds so queries skip their last L backward-search steps "
@@ -141,7 +154,12 @@ def fmindex_build_main(args) -> None:
     _reject_generic(args)
     seq = _read_folded(args.fasta)
     fmi = FMIndex(sa_intv=4, lookup_len=args.lookup_len)
-    fmi.build(seq)
+    # -k omitted -> the full-sort default (None); -k N -> N-ordered SA
+    # (-1 = unbounded, same wrap rule as suffix_sort, README.md:56)
+    sort_len = args.kordered
+    if sort_len is not None and sort_len < 0:
+        sort_len = None
+    fmi.build(seq, sort_len=sort_len)
     with open(args.fasta + ".fmi", "wb") as fout:
         fmi.save(fout)
 
@@ -188,9 +206,22 @@ def fmindex_query_main(args) -> None:
         queries = codec.fold_to_acgt(codec.to_istring(buf.reshape(-1))).reshape(
             num_query, query_len
         )
-        sw = timing.Stopwatch()
-        occ, checksum = fmi.batch_query_stats(queries)
-        elapsed = sw.elapsed()
+        # chunk boundaries land on remaining-count multiples of 100k so
+        # the per-100k progress line matches the reference batch loop
+        # (reference: include/command/fmindex_query.hpp:92-93 logs
+        # "remain: {}, time: {}" whenever num_query % 100000 == 0)
+        occ, checksum, elapsed = 0, 0, 0.0
+        done = 0
+        while done < num_query:
+            step = num_query % 100_000 if done == 0 else 100_000
+            step = step or min(100_000, num_query)
+            sw = timing.Stopwatch()
+            o, c = fmi.batch_query_stats(queries[done : done + step])
+            elapsed += sw.elapsed()
+            occ += o
+            checksum += c
+            done += step
+            timing.log_debug("remain: %d, time: %s", num_query - done, elapsed)
         timing.log_info("searching time: %s seconds", elapsed)
         timing.log_info("number of matched locations: %d", occ)
         timing.log_info("location checksum: %d", checksum)

@@ -86,17 +86,25 @@ class FMArrays(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _blocked_counts(bwt: jnp.ndarray, valid: jnp.ndarray, block: int):
-    """counts[j, c] = #occurrences of c among valid rows of block j."""
-    n = bwt.shape[0]
-    nblk = -(-n // block)
-    pad = nblk * block - n
-    bwtp = jnp.pad(bwt, (0, pad))
-    validp = jnp.pad(valid, (0, pad))
-    onehot = (bwtp[:, None] == jnp.arange(4, dtype=bwt.dtype)[None, :]) & validp[
-        :, None
+def _word_symbol_counts(bwt_words: jnp.ndarray, N: int, pri: jnp.ndarray):
+    """counts[j, c] = #occurrences of symbol c among the valid rows of
+    16-row block j, computed straight from the packed BWT words by
+    XOR + masked popcount (the whole-array form of the reference's
+    cnt_table byte scan, fm_index.hpp:158-164). The sentinel row packs
+    as symbol 0 and is subtracted from its block -- no ``[N, 4]``
+    one-hot is ever materialized (that intermediate alone would be
+    ~12.5 GB at chm13 scale)."""
+    W = bwt_words.shape[0]
+    starts = jnp.arange(W, dtype=jnp.uint32) * OCC2_INTV
+    t = jnp.minimum(jnp.uint32(N) - starts, jnp.uint32(OCC2_INTV))
+    cols = [
+        pack.count_symbol_prefix(bwt_words, jnp.uint32(c), t).astype(
+            jnp.int32
+        )
+        for c in range(4)
     ]
-    return onehot.reshape(nblk, block, 4).sum(axis=1, dtype=jnp.int32)
+    cnts = jnp.stack(cols, axis=1)
+    return cnts.at[pri // OCC2_INTV, 0].add(-1)
 
 
 def _index_dtype(N: int, force_u32: bool = False):
@@ -129,9 +137,9 @@ def build_index_device(text: jnp.ndarray, sa: jnp.ndarray, sa_intv: int,
     bwt_words = pack.pack_dibits_u32(bwt)
 
     # ---- occ tables (reference: fm_index.hpp:277-308): the sentinel row
-    # contributes to no symbol count.
-    valid = sa != 0
-    c16 = _blocked_counts(bwt, valid, OCC2_INTV)  # [nb2e, 4]
+    # contributes to no symbol count (it packs as symbol 0 and is
+    # subtracted from its block inside _word_symbol_counts).
+    c16 = _word_symbol_counts(bwt_words, N, pri)  # [nb2e, 4]
     nb2 = N // OCC2_INTV + 1
     nb1 = N // OCC1_INTV + 1
     blocks_per_sup = OCC1_INTV // OCC2_INTV

@@ -505,8 +505,15 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
     """Shared driver for the host path (early exits via host sync) and
     the fully-jitted path (early exits via lax.cond)."""
     nrounds = len(plan.rounds)
-    sa, rank, done = _seed_sort(
-        text, plan.seed_chars, alphabet, nrounds > 0, sort_impl
+    # per-phase stopwatch logs under --verbose (reference model:
+    # kiss1_core.hpp:244-267 / README.md:94-101 stage table); host path
+    # only -- inside jit there is no host timer to read
+    dbg = (not jittable) and timing.debug_enabled()
+    sa, rank, done = timing.staged(
+        f"seed_sort(chars={plan.seed_chars})" if dbg else None,
+        lambda: _seed_sort(
+            text, plan.seed_chars, alphabet, nrounds > 0, sort_impl
+        ),
     )
     if nrounds == 0:
         return sa
@@ -540,15 +547,19 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
             if m == 0:
                 break
             rows = _compact_rows(active, _next_capacity(m, N))
+            t = 0
             while m > 0:
                 ncap = _next_capacity(m, N)
                 if ncap < rows.shape[0]:
                     rows = rows[:ncap]
-                sa, rank, rows, m_dev = _tail_refine(
-                    sa, rank, rows, jnp.int32(cover)
+                sa, rank, rows, m_dev = timing.staged(
+                    f"tail_refine[{t}](m={m}, cover={cover})" if dbg
+                    else None,
+                    lambda: _tail_refine(sa, rank, rows, jnp.int32(cover)),
                 )
                 m = int(m_dev)
                 cover *= MAX_RANK_KEYS
+                t += 1
             break
         if _is_full(rnd, cover):
             args = (
@@ -575,7 +586,11 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
                 run,
             )
         else:
-            sa, rank, done = run()
+            sa, rank, done = timing.staged(
+                f"wide_round[{i}](cover {cover}->{rnd.new_cover})" if dbg
+                else None,
+                run,
+            )
         if need_rank:
             if cover not in save_levels:
                 ranks.pop(cover, None)

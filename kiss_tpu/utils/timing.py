@@ -39,6 +39,28 @@ def log_info(msg: str, *args) -> None:
     _LOGGER.info(msg, *args)
 
 
+def debug_enabled() -> bool:
+    """True when per-stage debug logging is on (``--verbose``); stage
+    timers sync the device per phase only in that case, mirroring the
+    reference's runtime spdlog gate (reference: include/utils/
+    options.hpp:269-270 -- stopwatch logs compiled in, level-gated)."""
+    return _LOGGER.isEnabledFor(logging.DEBUG)
+
+
+def staged(name: str | None, fn):
+    """Run ``fn`` and, when ``name`` is given AND debug logging is on,
+    sync its device outputs and log ``<name> elapsed <seconds>`` -- the
+    per-phase stopwatch pattern of the reference pipeline (reference:
+    include/biovoltron/algo/sort/kiss1_core.hpp:244-267). With debug off
+    this is a plain call: no sync, no dispatch barrier, zero cost."""
+    if name is None or not debug_enabled():
+        return fn()
+    with stage(name) as out:
+        res = fn()
+        out["block_on"] = res
+    return res
+
+
 def log_debug(msg: str, *args) -> None:
     _LOGGER.debug(msg, *args)
 

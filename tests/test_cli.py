@@ -93,3 +93,60 @@ def test_fmindex_build_lookup_len_roundtrip(tmp_path, capsys):
     beg, end, _ = fmi.get_range(codec.to_istring("GATTACAGA"))
     assert end - beg == 2
     assert sorted(fmi.get_offsets(beg, end).tolist()) == [700, 2200]
+
+
+def test_fmindex_build_k_flag(fa_path):
+    """The reference declares -k on fmindex_build (reference:
+    include/utils/options.hpp:133-141); here it is honored as the sort
+    depth (-1 wraps to unbounded like suffix_sort, README.md:56)."""
+    path, text = fa_path
+    assert cli.main(["fmindex_build", "-k", "32", path]) == 0
+    assert cli.main(["fmindex_query", "-q", codec.to_string(text[40:51]),
+                     path]) == 0
+    assert cli.main(["fmindex_build", "-k", "-1", path]) == 0
+
+
+def test_batch_progress_log(fa_path, tmp_path, caplog):
+    """Batch mode emits the reference's per-100k progress debug line
+    'remain: N, time: T' (reference: include/command/
+    fmindex_query.hpp:92-93)."""
+    import logging
+
+    path, text = fa_path
+    assert cli.main(["fmindex_build", path]) == 0
+    qlen, nq = 11, 16
+    bpath = tmp_path / "pat.bin"
+    with open(bpath, "wb") as f:
+        f.write(struct.pack("<II", qlen, nq))
+        for i in range(nq):
+            f.write(codec.to_string(text[i : i + qlen]).encode())
+    with caplog.at_level(logging.DEBUG, logger="kiss_tpu"):
+        assert cli.main(
+            ["fmindex_query", "-b", str(bpath), "--verbose", path]
+        ) == 0
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(m.startswith("remain: 0, time: ") for m in msgs), msgs
+
+
+def test_suffix_sort_stage_log_shape(tmp_path, caplog):
+    """--verbose suffix_sort prints a per-stage timing table with stable
+    names (the reference's per-phase spdlog stopwatches, reference:
+    include/biovoltron/algo/sort/kiss1_core.hpp:244-267 /
+    README.md:94-101 stage table)."""
+    import logging
+    import re
+
+    # tandem-repeat text: 64-char-seed ties persist, so the wide round
+    # actually runs (a random text resolves at the seed and skips it)
+    unit = oracle.random_dna(13, seed=3)
+    text = np.tile(unit, 2000)[:20_000]
+    path = str(tmp_path / "rep.fa")
+    fasta.write_fasta(path, [fasta.FastaRecord("chr1", text)])
+    with caplog.at_level(logging.DEBUG, logger="kiss_tpu"):
+        assert cli.main(["suffix_sort", "-k", "256", "--verbose", path]) == 0
+    msgs = [r.getMessage() for r in caplog.records]
+    pat = re.compile(r"^(seed_sort|wide_round|tail_refine).* elapsed \d+\.\d+$")
+    staged = [m for m in msgs if pat.match(m)]
+    # k=256 needs the 64-char seed plus at least one wide round
+    assert any(m.startswith("seed_sort(chars=64)") for m in staged), msgs
+    assert any(m.startswith("wide_round[0]") for m in staged), msgs
