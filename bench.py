@@ -1,4 +1,4 @@
-"""Benchmark: k-ordered suffix sort throughput on real TPU hardware.
+"""Benchmark: all three reference workloads on real TPU hardware.
 
 Headline metric mirrors the reference's flagship number: suffix_sort of a
 drosophila-chr1_2-sized text (n = 48,800,648) at k = 256, which the
@@ -10,10 +10,22 @@ copied from earlier in the text with ~1% mutations (transposon-like
 dispersed repeats), ~5% tandem repeats -- long approximate repeats are
 exactly what makes real genomes hard to suffix-sort.
 
+The other two workloads (reference: fmindex_build / batch fmindex_query,
+include/command/fmindex_{build,query}.hpp) are measured on the same
+corpus: device index build seconds (full-sort SA + BWT/occ/marks/SA
+sample; the `.fmi` disk serialization is excluded -- on this tunneled
+platform the host link runs at ~5-8 MB/s, which measures the tunnel,
+not the machine), and 1M len-25 pattern counts per second end-to-end
+(host patterns -> 2-bit packed transfer -> backward search -> total),
+with the count+locate checksum printed for conformance.
+
 Timing covers the full device pipeline (host-driven rounds included);
 the SA stays on device (a genome-scale device->host pull is not part of
 the reference's measured suffix_sort either -- it keeps the SA in RAM).
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"extra_metrics": [...]} -- the extra metrics carry the build/query
+numbers in the same {metric, value, unit, vs_baseline} shape
+(vs_baseline null where BASELINE.md has no reference number).
 """
 
 import json
@@ -24,6 +36,8 @@ import numpy as np
 
 N = 48_800_648
 K = 256
+NQ = 1_000_000
+QLEN = 25
 BASELINE_MBP_S = 48.800648 / 0.4809  # reference: README.md:87-89
 
 
@@ -59,22 +73,30 @@ def synth_genome(n: int, seed: int = 0) -> np.ndarray:
     return out
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def sample_patterns(text: np.ndarray, nq: int, qlen: int,
+                    seed: int = 7) -> np.ndarray:
+    """90% patterns sampled from the text (hits), 10% random (mostly
+    misses) -- the reference batch protocol samples real reads; misses
+    exercise the early-stop path."""
+    rng = np.random.default_rng(seed)
+    starts = rng.integers(0, len(text) - qlen, nq)
+    idx = starts[:, None] + np.arange(qlen)[None, :]
+    pats = text[idx]
+    miss = rng.random(nq) < 0.10
+    pats[miss] = rng.integers(0, 4, (int(miss.sum()), qlen), dtype=np.int8)
+    return np.ascontiguousarray(pats, dtype=np.int8)
+
+
+def bench_suffix_sort(text_dev) -> float:
+    import jax  # noqa: F401
 
     from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array_device
-    from kiss_tpu.utils import compile_cache, timing
-
-    compile_cache.enable()
-
-    text = jax.device_put(jnp.asarray(synth_genome(N)))
-    timing.sync(text)
+    from kiss_tpu.utils import timing
 
     def run():
         # single-dispatch jitted pipeline: one program, no host round
         # trips (the tunnel adds ~64ms per dispatch/sync)
-        sa = k_ordered_suffix_array_device(text, K)
+        sa = k_ordered_suffix_array_device(text_dev, K)
         timing.sync(sa)
         return sa
 
@@ -87,8 +109,100 @@ def main() -> None:
         run()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    mbps = N / 1e6 / best
+    print(
+        f"# suffix_sort n={N} k={K} best={best:.4f}s "
+        f"times={[round(t, 4) for t in times]}",
+        file=sys.stderr,
+    )
+    return best
 
+
+def bench_fmindex(text_dev, text_host):
+    """(build_seconds, counts_per_s, occ, checksum): device index build
+    + end-to-end 1M-pattern count throughput + conformance stats."""
+    from kiss_tpu.models import fm_index as fm
+    from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array_device
+    from kiss_tpu.utils import timing
+
+    def build():
+        fmi = fm.FMIndex(sa_intv=4, lookup_len=0)
+        sa = k_ordered_suffix_array_device(text_dev, fm.SORT_LEN)
+        arrays = fm.build_index_device(text_dev, sa, fmi.sa_intv)
+        fmi.arrays = arrays
+        fmi.n_rows = N + 1
+        fmi._build_lookup()
+        timing.sync(fmi.arrays)
+        return fmi
+
+    fmi = build()  # compile
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fmi = build()
+        times.append(time.perf_counter() - t0)
+    build_s = min(times)
+    print(f"# fmindex_build times={[round(t, 4) for t in times]}",
+          file=sys.stderr)
+
+    pats = sample_patterns(text_host, NQ, QLEN)
+    beg, end, _ = fmi.get_ranges(pats)  # compile + warm
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        beg, end, _ = fmi.get_ranges(pats)
+        times.append(time.perf_counter() - t0)
+    count_s = min(times)
+    print(f"# fmindex_query count-path times={[round(t, 4) for t in times]}",
+          file=sys.stderr)
+
+    # conformance stats over the full batch (count + locate + checksum,
+    # the reference batch loop accumulators, fmindex_query.hpp:87-94);
+    # run twice so the reported time is steady-state, not compile time
+    # (the locate program compiles per capacity bucket)
+    fmi.batch_query_stats(pats)
+    t0 = time.perf_counter()
+    occ, checksum = fmi.batch_query_stats(pats)
+    stats_s = time.perf_counter() - t0
+    print(
+        f"# fmindex_query count+locate stats: occ={occ} "
+        f"checksum={checksum} elapsed={stats_s:.4f}s",
+        file=sys.stderr,
+    )
+    return build_s, NQ / count_s, occ, checksum
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from kiss_tpu.utils import compile_cache, timing
+
+    compile_cache.enable()
+
+    text_host = synth_genome(N)
+    text_dev = jax.device_put(jnp.asarray(text_host))
+    timing.sync(text_dev)
+
+    best = bench_suffix_sort(text_dev)
+    mbps = N / 1e6 / best
+    build_s, counts_per_s, occ, checksum = bench_fmindex(text_dev, text_host)
+
+    extra = [
+        {
+            "metric": "fmindex_build_seconds_drosophila",
+            "value": round(build_s, 3),
+            "unit": "s",
+            "vs_baseline": None,  # no reference build time in BASELINE.md
+        },
+        {
+            "metric": "fmindex_query_1M_len25_counts_per_s",
+            "value": round(counts_per_s, 1),
+            "unit": "patterns/s",
+            "vs_baseline": None,  # reference publishes no batch number
+            "occ": int(occ),
+            "checksum": int(checksum),
+        },
+    ]
     print(
         json.dumps(
             {
@@ -96,12 +210,9 @@ def main() -> None:
                 "value": round(mbps, 3),
                 "unit": "Mbp/s",
                 "vs_baseline": round(mbps / BASELINE_MBP_S, 3),
+                "extra_metrics": extra,
             }
         )
-    )
-    print(
-        f"# n={N} k={K} best={best:.4f}s times={[round(t, 4) for t in times]}",
-        file=sys.stderr,
     )
 
 

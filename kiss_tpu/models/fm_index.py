@@ -74,11 +74,17 @@ class FMArrays(NamedTuple):
     b_words: jnp.ndarray  # uint32[ceil(N/32)] sampled-row marks
     b_occ: jnp.ndarray  # int32[N//64+1]
     lookup: jnp.ndarray  # int32[4^LOOKUP_LEN + 1]
-    # device-only fusion of the two occ levels (not serialized): the
-    # absolute count of each symbol before every 16-symbol block, so an
-    # LF step costs ONE table gather instead of two -- backward search
-    # is gather-bound on TPU (~15ms per 1M gathered elements).
-    occf: jnp.ndarray  # int32[N//16+1, 4]
+    # device-only fusions (not serialized). Backward search is
+    # gather-bound on TPU (~12-15ms per 1M gathered elements, and a
+    # [Q, 5] ROW gather costs the same as a [Q] element gather --
+    # experiments/micro_query.py), so every table an LF step touches is
+    # packed into one row:
+    #   lf_tab[j] = [occ1[j//16] + occ2[j] for each symbol (4 cols),
+    #                bwt word j]          -- ONE gather per LF bound
+    #   b_tab[blk] = [b_occ[blk], b_words[2blk], b_words[2blk+1]]
+    #                -- ONE gather per mark probe / mark rank
+    lf_tab: jnp.ndarray  # uint32[N//16+1, 5]
+    b_tab: jnp.ndarray  # uint32[N//64+1, 3]
 
 
 # ---------------------------------------------------------------------------
@@ -187,17 +193,41 @@ def build_index_device(text: jnp.ndarray, sa: jnp.ndarray, sa_intv: int,
     lookup = jnp.array([0, N], idt)  # placeholder; LOOKUP_LEN=0 form
     return FMArrays(
         bwt_words, occ1, occ2, cnt, pri, sa_samp, b_words, b_occ, lookup,
-        _fuse_occ(occ1, occ2),
+        _fuse_lf_tab(occ1, occ2, bwt_words), _fuse_b_tab(b_occ, b_words),
     )
 
 
-def _fuse_occ(occ1: jnp.ndarray, occ2: jnp.ndarray) -> jnp.ndarray:
-    """occf[j] = occ1[j // 16] + occ2[j]: per-16-block absolute symbol
-    counts. Device-side only; the serialized ``.fmi`` keeps the
-    reference's two-level layout (fm_index.hpp:106-128) byte-exactly."""
+def _fuse_lf_tab(occ1, occ2, bwt_words) -> jnp.ndarray:
+    """lf_tab[j] = [absolute per-symbol counts before 16-block j
+    (occ1[j // 16] + occ2[j], 4 uint32 cols), packed BWT word j]: the
+    whole LF step reads ONE table row instead of an occ gather plus a
+    word gather (measured ~12ms per 1M lookups cheaper; the reference
+    reads occ1 + occ2 + packed bytes separately per bound,
+    fm_index.hpp:166-182). Device-side only; the serialized ``.fmi``
+    keeps the reference's two-level layout (fm_index.hpp:106-128)
+    byte-exactly."""
     nb2 = occ2.shape[0]
-    reps = jnp.repeat(occ1, OCC1_INTV // OCC2_INTV, axis=0)[:nb2]
-    return (reps + occ2.astype(occ1.dtype)).astype(occ1.dtype)
+    reps = jnp.repeat(
+        occ1.astype(jnp.uint32), OCC1_INTV // OCC2_INTV, axis=0
+    )[:nb2]
+    occf = reps + occ2.astype(jnp.uint32)
+    words = jnp.zeros(nb2, jnp.uint32).at[: bwt_words.shape[0]].set(
+        bwt_words[:nb2]
+    )
+    return jnp.concatenate([occf, words[:, None]], axis=1)
+
+
+def _fuse_b_tab(b_occ, b_words) -> jnp.ndarray:
+    """b_tab[blk] = [mark-rank prefix b_occ[blk], mark words 2blk and
+    2blk+1]: mark probes and mark ranks (compute_b_occ, reference:
+    fm_index.hpp:189-208) each cost ONE row gather. Device-side only."""
+    nb = b_occ.shape[0]
+    w = jnp.zeros(2 * nb, jnp.uint32).at[: b_words.shape[0]].set(
+        b_words[: 2 * nb]
+    )
+    return jnp.stack(
+        [b_occ.astype(jnp.uint32), w[0::2], w[1::2]], axis=1
+    )
 
 
 def _blocked_counts_bool(flags: jnp.ndarray, block: int) -> jnp.ndarray:
@@ -212,19 +242,30 @@ def _blocked_counts_bool(flags: jnp.ndarray, block: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _sel4(row4: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """row4[..., c] without a second gather: a one-hot select is pure
+    VPU work, while take_along_axis would lower to another gather."""
+    onehot = (
+        c[..., None] == jnp.arange(4, dtype=c.dtype)
+    ).astype(jnp.uint32)
+    return (row4 * onehot).sum(axis=-1)
+
+
 def _occ(idx: FMArrays, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized compute_occ (reference: fm_index.hpp:166-182). All
-    arithmetic in the index dtype (int32, or uint32 at chm13 scale --
-    see :func:`_index_dtype`); the pass_pri subtraction never underflows
-    because it implies the sentinel's packed symbol was counted."""
-    idt = idx.occf.dtype
-    word = idx.bwt_words[i // OCC2_INTV]
-    partial_cnt = pack.count_symbol_prefix(word, c, i % OCC2_INTV).astype(idt)
+    """Vectorized compute_occ (reference: fm_index.hpp:166-182) as ONE
+    ``lf_tab`` row gather: the row carries the absolute counts of all 4
+    symbols plus the packed BWT word. Arithmetic in the index dtype
+    (int32, or uint32 at chm13 scale -- see :func:`_index_dtype`); the
+    pass_pri subtraction never underflows because it implies the
+    sentinel's packed symbol was counted."""
+    idt = idx.cnt.dtype
+    row = idx.lf_tab[i // OCC2_INTV]
+    word = row[..., 4]
+    partial_cnt = pack.count_symbol_prefix(word, c, i % OCC2_INTV)
     beg = i - i % OCC2_INTV
     pass_pri = (c == 0) & (beg <= idx.pri) & (idx.pri < i)
     return (
-        idx.occf[i // OCC2_INTV, c]
-        + partial_cnt
+        (_sel4(row[..., :4], c) + partial_cnt).astype(idt)
         - pass_pri.astype(idt)
     )
 
@@ -235,33 +276,36 @@ def _lf(idx: FMArrays, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
 
 def _bwt_at(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
     return (
-        (idx.bwt_words[i // 16] >> (2 * (i % 16).astype(jnp.uint32))) & 3
+        (idx.lf_tab[i // 16, 4] >> (2 * (i % 16).astype(jnp.uint32))) & 3
     ).astype(jnp.int32)
 
 
 def _lf_own_symbol(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
-    """lf(bwt[i], i) with ONE bwt-word gather: the locate walk needs
-    both the symbol at row i and its rank, and they live in the same
-    packed word (compute_sa does the same two reads separately,
-    reference: fm_index.hpp:210-222)."""
-    idt = idx.occf.dtype
-    word = idx.bwt_words[i // OCC2_INTV]
+    """lf(bwt[i], i) with ONE lf_tab row gather: the locate walk needs
+    the symbol at row i, its occ count, and the partial word rank, and
+    they all live in the same fused row (compute_sa does the same reads
+    separately, reference: fm_index.hpp:210-222)."""
+    idt = idx.cnt.dtype
+    row = idx.lf_tab[i // OCC2_INTV]
+    word = row[..., 4]
     off = (i % OCC2_INTV).astype(jnp.uint32)
     c = ((word >> (2 * off)) & 3).astype(jnp.int32)
-    partial_cnt = pack.count_symbol_prefix(word, c, i % OCC2_INTV).astype(idt)
+    partial_cnt = pack.count_symbol_prefix(word, c, i % OCC2_INTV)
     beg = i - i % OCC2_INTV
     pass_pri = (c == 0) & (beg <= idx.pri) & (idx.pri < i)
     return idx.cnt[c] + (
-        idx.occf[i // OCC2_INTV, c] + partial_cnt - pass_pri.astype(idt)
+        (_sel4(row[..., :4], c) + partial_cnt).astype(idt)
+        - pass_pri.astype(idt)
     )
 
 
 def _b_rank(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized compute_b_occ (reference: fm_index.hpp:189-208)."""
+    """Vectorized compute_b_occ (reference: fm_index.hpp:189-208) as one
+    ``b_tab`` row gather (rank prefix + both mark words)."""
     blk = i // B_OCC_INTV
     off = i - blk * B_OCC_INTV  # 0..63
-    w0 = idx.b_words[2 * blk]
-    w1 = idx.b_words[2 * blk + 1]
+    row = idx.b_tab[blk]
+    w0, w1 = row[..., 1], row[..., 2]
     # off may be unsigned: compute the second-word bit count without
     # ever forming a negative intermediate
     lo = jnp.minimum(off, 32).astype(jnp.uint32)
@@ -271,11 +315,14 @@ def _b_rank(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
     m0 = jnp.where(lo >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << lo) - 1)
     m1 = jnp.where(hi >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << hi) - 1)
     cnt = pack.popcount_u32(w0 & m0) + pack.popcount_u32(w1 & m1)
-    return idx.b_occ[blk] + cnt.astype(idx.b_occ.dtype)
+    return (row[..., 0] + cnt).astype(idx.cnt.dtype)
 
 
 def _b_at(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
-    return ((idx.b_words[i // 32] >> (i % 32).astype(jnp.uint32)) & 1) == 1
+    row = idx.b_tab[i // B_OCC_INTV]
+    odd = ((i // 32) % 2) == 1
+    w = jnp.where(odd, row[..., 2], row[..., 1])
+    return ((w >> (i % 32).astype(jnp.uint32)) & 1) == 1
 
 
 @partial(jax.jit, static_argnames=("lookup_len", "early_stop"))
@@ -525,7 +572,8 @@ class FMIndex:
         idt = _index_dtype(len(ref) + 1, self.force_u32)
         if sa is None:
             sa = k_ordered_suffix_array(
-                ref, -1 if sort_len is None else sort_len, as_numpy=False
+                ref, -1 if sort_len is None else sort_len, as_numpy=False,
+                force_u32=self.force_u32,
             )
         sa = jnp.asarray(np.asarray(sa).astype(idt)) if isinstance(
             sa, np.ndarray
@@ -746,17 +794,21 @@ class FMIndex:
         idt = np.dtype(_index_dtype(N, self.force_u32))
         occ1_d = jnp.asarray(occ1.astype(idt))
         occ2_d = jnp.asarray(occ2.astype(np.int32))
+        bwt_words_d = jnp.asarray(bwt_words)
+        b_words_d = jnp.asarray(b_words)
+        b_occ_d = jnp.asarray(b_occ.astype(idt))
         self.arrays = FMArrays(
-            bwt_words=jnp.asarray(bwt_words),
+            bwt_words=bwt_words_d,
             occ1=occ1_d,
             occ2=occ2_d,
             cnt=jnp.asarray(cnt.astype(idt)),
             pri=jnp.asarray(pri.astype(idt)),
             sa_samp=jnp.asarray(sa_samp.astype(idt)),
-            b_words=jnp.asarray(b_words),
-            b_occ=jnp.asarray(b_occ.astype(idt)),
+            b_words=b_words_d,
+            b_occ=b_occ_d,
             lookup=jnp.asarray(lookup.astype(idt)),
-            occf=_fuse_occ(occ1_d, occ2_d),
+            lf_tab=_fuse_lf_tab(occ1_d, occ2_d, bwt_words_d),
+            b_tab=_fuse_b_tab(b_occ_d, b_words_d),
         )
         return self
 

@@ -271,12 +271,13 @@ def _rank_by_position(sa: jnp.ndarray, rank_sorted: jnp.ndarray,
     return rank
 
 
-def _pos_dtype(n: int):
+def _pos_dtype(n: int, force_u32: bool = False):
     """Dtype for text positions/ranks: int32 when they fit (faster,
     plays well with downstream int indexing), uint32 for chm13-scale
     texts whose positions exceed 2**31 - 1 (n < 2**32 always: SA entries
-    and ranks are single u32 lanes by design; see ROADMAP chm13 item)."""
-    return jnp.int32 if n < 2**31 else jnp.uint32
+    and ranks are single u32 lanes by design; see ROADMAP chm13 item).
+    ``force_u32`` lets tests run the uint32 path on small corpora."""
+    return jnp.uint32 if force_u32 or n >= 2**31 else jnp.int32
 
 
 def _ranks_of_sorted(sorted_keys, sa, sort_impl=lax.sort):
@@ -298,10 +299,12 @@ def _ranks_of_sorted(sorted_keys, sa, sort_impl=lax.sort):
 
 @partial(
     jax.jit,
-    static_argnames=("seed_chars", "alphabet", "with_rank", "sort_impl"),
+    static_argnames=(
+        "seed_chars", "alphabet", "with_rank", "sort_impl", "force_u32"
+    ),
 )
 def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
-               sort_impl=lax.sort):
+               sort_impl=lax.sort, force_u32: bool = False):
     """Sort of all n+1 suffixes by the first ``seed_chars`` characters
     (shorter-first at end of text, then ascending position -- the full
     reference comparator contract, kiss1_core.hpp:94-135). Returns
@@ -327,7 +330,7 @@ def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
         cov = jnp.uint32(seed_chars)
         sa = jnp.where(
             fused_s < cov, jnp.uint32(n) - fused_s, fused_s - cov
-        ).astype(_pos_dtype(n))
+        ).astype(_pos_dtype(n, force_u32))
         if not with_rank:
             return sa, sa, jnp.bool_(True)
         # group identity = raw key words + clamped length (decoded from
@@ -338,7 +341,7 @@ def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
         )
         return sa, rank, done
 
-    pos = jnp.arange(n + 1, dtype=_pos_dtype(n))
+    pos = jnp.arange(n + 1, dtype=_pos_dtype(n, force_u32))
     words = pack.suffix_key_words(text, seed_chars, 0, alphabet)
     ops = sort_impl(tuple(words) + (pos,), num_keys=len(words), is_stable=True)
     sa = ops[-1]
@@ -350,10 +353,10 @@ def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
 
 @partial(
     jax.jit,
-    static_argnames=("n_keys", "with_rank", "sort_impl"),
+    static_argnames=("n_keys", "with_rank", "sort_impl", "force_u32"),
 )
 def _full_round(text, rank, cover, n_keys: int, with_rank: bool,
-                sort_impl=lax.sort):
+                sort_impl=lax.sort, force_u32: bool = False):
     """One wide stable sort by ``n_keys`` shifted copies of the current
     rank level at offsets 0, cover, 2*cover, ... -- covering
     n_keys*cover characters. ``cover`` is a TRACED scalar, so one
@@ -374,7 +377,7 @@ def _full_round(text, rank, cover, n_keys: int, with_rank: bool,
         [(k, rank_bits, False) for k in keys] + [(pos, posbits, True)]
     )
     ops = sort_impl(tuple(packed), num_keys=len(packed), is_stable=False)
-    sa = _extract_field(ops, places[-1]).astype(_pos_dtype(n))
+    sa = _extract_field(ops, places[-1]).astype(_pos_dtype(n, force_u32))
     if not with_rank:
         return sa, sa, jnp.bool_(True)
     rank2, done = _ranks_of_sorted(
@@ -390,7 +393,14 @@ def _active_rows_of(sa, rank, sort_impl=lax.sort):
     neq = _neq_adjacent((key_sorted,))
     nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
     active = ~(neq & nxt)
-    return active, jnp.sum(active, dtype=jnp.int32)
+    return active, jnp.sum(active, dtype=jnp.uint32)
+
+
+# column width for the 2-D nonzero in _compact_rows: row ids above 2**31
+# cannot come out of a flat jnp.nonzero (int32 result type under no-x64),
+# so active flags are reshaped to [*, 2**16] and the two small index
+# halves are recombined in uint32
+_NZ_COLS = 1 << 16
 
 
 @partial(jax.jit, static_argnames=("capacity",))
@@ -399,9 +409,23 @@ def _compact_rows(active, capacity: int):
     dataflow form of kISS-2's compact, reference: kiss2_core.hpp:
     464-536). Fill entries alias row 0 -- the sentinel row, whose rank 1
     is the global minimum, so downstream sorts park them harmlessly at
-    the front and their writes re-store the unchanged sentinel."""
-    (rows,) = jnp.nonzero(active, size=capacity, fill_value=0)
-    return rows.astype(jnp.int32)
+    the front and their writes re-store the unchanged sentinel.
+
+    Row ids are assembled from a 2-D nonzero so they stay exact past
+    2**31 (chm13-scale N); the result dtype follows the caller's need
+    via the uint32 recombination."""
+    N = active.shape[0]
+    if N < 2**31 - _NZ_COLS:
+        (rows,) = jnp.nonzero(active, size=capacity, fill_value=0)
+        return rows.astype(jnp.int32)
+    nrows = -(-N // _NZ_COLS)
+    act2 = jnp.zeros(nrows * _NZ_COLS, bool).at[:N].set(active)
+    hi, lo = jnp.nonzero(
+        act2.reshape(nrows, _NZ_COLS), size=capacity, fill_value=0
+    )
+    return hi.astype(jnp.uint32) * jnp.uint32(_NZ_COLS) + lo.astype(
+        jnp.uint32
+    )
 
 
 @partial(jax.jit, donate_argnames=("sa", "rank"))
@@ -410,13 +434,22 @@ def _tail_refine(sa, rank, rows, cover):
     sort: re-sorts only suffixes still in tie groups by MAX_RANK_KEYS
     shifted rank lookups (small gathers -- affordable at tail sizes),
     writes the new order back into their own rows, updates ranks, and
-    re-compacts. Returns (sa, rank, rows_next, m_next)."""
+    re-compacts. Returns (sa, rank, rows_next, m_next).
+
+    All index arithmetic is wrap-proof in the sa dtype (uint32 at chm13
+    scale): the past-end test for key j is ``cover <= (n - p) // j``,
+    which never forms the (possibly overflowing) product cover * j for
+    the entries it rejects."""
     n = sa.shape[0] - 1
+    nv = jnp.asarray(n, sa.dtype)
     p = sa[rows]
-    keys = []
-    for j in range(MAX_RANK_KEYS):
-        q = p + cover * j
-        keys.append(jnp.where(q <= n, rank[jnp.minimum(q, n)], 0))
+    keys = [rank[p]]  # offset 0: always in range
+    for j in range(1, MAX_RANK_KEYS):
+        valid = cover <= (nv - p) // jnp.asarray(j, sa.dtype)
+        q = p + cover * jnp.asarray(j, sa.dtype)  # exact where valid
+        keys.append(
+            jnp.where(valid, rank[jnp.minimum(q, nv)], 0)
+        )
     ops = lax.sort(
         tuple(keys) + (p,), num_keys=MAX_RANK_KEYS, is_stable=True
     )
@@ -426,28 +459,34 @@ def _tail_refine(sa, rank, rows, cover):
 
     m = rows.shape[0]
     neq = _neq_adjacent(ops[:-1])
-    head = lax.cummax(jnp.where(neq, trows, 0))
-    is_fill = ps == n
-    rank = rank.at[ps].set(jnp.where(is_fill, 1, head + 1))
+    head = lax.cummax(jnp.where(neq, trows, jnp.zeros((), trows.dtype)))
+    is_fill = ps == nv
+    rank = rank.at[ps].set(
+        jnp.where(is_fill, jnp.ones((), rank.dtype), head.astype(rank.dtype) + 1)
+    )
 
     nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
     still = ~(neq & nxt) & ~is_fill
+    # keep indexes the m-sized compacted set (m < 2**31 always): int32
     (keep,) = jnp.nonzero(still, size=m, fill_value=-1)
-    rows_next = jnp.where(keep >= 0, trows[jnp.maximum(keep, 0)], 0)
+    rows_next = jnp.where(
+        keep >= 0, trows[jnp.maximum(keep, 0)], jnp.zeros((), trows.dtype)
+    )
     return (
-        sa, rank, rows_next.astype(jnp.int32),
-        jnp.sum(still, dtype=jnp.int32),
+        sa, rank, rows_next.astype(rows.dtype),
+        jnp.sum(still, dtype=jnp.uint32),
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("rank_key_spec", "tail_chars", "tail_offset",
-                     "alphabet", "with_rank", "level_ids", "sort_impl"),
+                     "alphabet", "with_rank", "level_ids", "sort_impl",
+                     "force_u32"),
 )
 def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
                      tail_chars, tail_offset, alphabet, with_rank: bool,
-                     sort_impl=lax.sort):
+                     sort_impl=lax.sort, force_u32: bool = False):
     """One wide stable sort by shifted rank-level keys (+ optional raw
     tail words). ``rank_arrays`` is a tuple aligned with ``level_ids``;
     ``rank_key_spec`` is ((level, offset), ...)."""
@@ -469,7 +508,7 @@ def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
     pos = jnp.arange(n + 1, dtype=jnp.uint32)
     packed, places = _pack_fields(fields + [(pos, posbits, True)])
     ops = sort_impl(tuple(packed), num_keys=len(packed), is_stable=False)
-    sa = _extract_field(ops, places[-1]).astype(_pos_dtype(n))
+    sa = _extract_field(ops, places[-1]).astype(_pos_dtype(n, force_u32))
     if not with_rank:
         return sa, sa, jnp.bool_(True)
     rank, done = _ranks_of_sorted(
@@ -501,10 +540,11 @@ def _is_full(rnd: _Round, cover: int) -> bool:
 
 
 def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
-              sort_impl=lax.sort):
+              sort_impl=lax.sort, force_u32: bool = False):
     """Shared driver for the host path (early exits via host sync) and
     the fully-jitted path (early exits via lax.cond)."""
     nrounds = len(plan.rounds)
+    pdt = _pos_dtype(text.shape[0], force_u32)
     # per-phase stopwatch logs under --verbose (reference model:
     # kiss1_core.hpp:244-267 / README.md:94-101 stage table); host path
     # only -- inside jit there is no host timer to read
@@ -512,7 +552,8 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
     sa, rank, done = timing.staged(
         f"seed_sort(chars={plan.seed_chars})" if dbg else None,
         lambda: _seed_sort(
-            text, plan.seed_chars, alphabet, nrounds > 0, sort_impl
+            text, plan.seed_chars, alphabet, nrounds > 0, sort_impl,
+            force_u32,
         ),
     )
     if nrounds == 0:
@@ -535,27 +576,29 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
             and not jittable
             and sort_impl is lax.sort
             and i >= _FULL_ROUNDS_BEFORE_TAIL
-            # the compacted-tail machinery indexes rows with int32;
-            # chm13-scale texts (> 2**31 positions) take the plain
-            # uint32-safe full rounds instead
-            and text.shape[0] < 2**31 - 1
         ):
-            # deep-tail refinement on the compacted active set
+            # deep-tail refinement on the compacted active set (row ids
+            # and covers in the pos dtype -- uint32-exact at chm13 scale,
+            # see _compact_rows/_tail_refine)
             N = text.shape[0] + 1
             active, m_dev = _active_rows_of(sa, rank)
             m = int(m_dev)
             if m == 0:
                 break
-            rows = _compact_rows(active, _next_capacity(m, N))
+            rows = _compact_rows(active, _next_capacity(m, N)).astype(pdt)
             t = 0
             while m > 0:
                 ncap = _next_capacity(m, N)
                 if ncap < rows.shape[0]:
                     rows = rows[:ncap]
+                # cover past n behaves identically to cover == n + 1 (all
+                # shifted keys out of range), so clamp before the cast --
+                # the Python int cover can exceed 2**32
+                cdev = jnp.asarray(min(cover, N), pdt)
                 sa, rank, rows, m_dev = timing.staged(
                     f"tail_refine[{t}](m={m}, cover={cover})" if dbg
                     else None,
-                    lambda: _tail_refine(sa, rank, rows, jnp.int32(cover)),
+                    lambda cdev=cdev: _tail_refine(sa, rank, rows, cdev),
                 )
                 m = int(m_dev)
                 cover *= MAX_RANK_KEYS
@@ -563,8 +606,8 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
             break
         if _is_full(rnd, cover):
             args = (
-                text, ranks[cover], jnp.int32(cover), len(rnd.rank_keys),
-                need_rank, sort_impl,
+                text, ranks[cover], jnp.asarray(cover, pdt),
+                len(rnd.rank_keys), need_rank, sort_impl, force_u32,
             )
             run = lambda args=args: _full_round(*args)  # noqa: E731
         else:
@@ -575,7 +618,7 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
             args = (
                 text, rank_arrays, level_ids, rnd.rank_keys,
                 rnd.tail_chars, rnd.tail_offset, alphabet, need_rank,
-                sort_impl,
+                sort_impl, force_u32,
             )
             run = lambda args=args: _rank_block_sort(*args)  # noqa: E731
         if jittable:
@@ -600,7 +643,8 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
 
 
 def k_ordered_suffix_array(
-    ref, k=256, alphabet: pack.Alphabet = pack.DNA, as_numpy: bool = True
+    ref, k=256, alphabet: pack.Alphabet = pack.DNA, as_numpy: bool = True,
+    force_u32: bool = False,
 ):
     """Host entry point: int8 text -> uint32 SA (length n+1).
 
@@ -612,7 +656,9 @@ def k_ordered_suffix_array(
 
     ``as_numpy=False`` leaves the result on device (callers composing
     with further device work should prefer this; device->host transfer
-    of a genome-scale SA is expensive).
+    of a genome-scale SA is expensive). ``force_u32`` runs the whole
+    pipeline with uint32 positions/ranks on a small corpus -- the dtype
+    a chm13-scale text (n >= 2**31) selects automatically.
     """
     if not isinstance(ref, jnp.ndarray):
         ref = np.ascontiguousarray(ref, dtype=np.int8)
@@ -624,7 +670,9 @@ def k_ordered_suffix_array(
 
     with timing.stage("k_ordered_suffix_array") as out:
         text = jnp.asarray(ref)
-        sa = _run_plan(text, plan, alphabet, jittable=False)
+        sa = _run_plan(
+            text, plan, alphabet, jittable=False, force_u32=force_u32
+        )
         out["block_on"] = sa
     if as_numpy:
         return np.asarray(sa).astype(np.uint32)

@@ -2,21 +2,27 @@
 
 :func:`kiss_tpu.parallel.mesh.sharded_batch_query` shards the QUERY axis
 and replicates the index -- right whenever the index fits one chip. At
-chm13 scale the device tables (packed BWT ~0.8 GB, fused occ ~3.1 GB,
-sampled SA ~3.1 GB, marks) crowd a single chip's HBM, and the reference
-has no answer at all (single shared-memory node, SURVEY.md section 2.5).
-This module shards the INDEX over the sequence axis instead: device d
-holds row-block d of every row-indexed table, queries are replicated,
-and each LF step resolves its gathers with one ``psum``:
+chm13 scale the device tables (packed BWT ~0.8 GB, fused LF table
+~3.9 GB, sampled SA ~3.1 GB, marks) crowd a single chip's HBM, and the
+reference has no answer at all (single shared-memory node, SURVEY.md
+section 2.5). This module shards the INDEX over the sequence axis
+instead: device d holds row-block d of every row-indexed table, queries
+are replicated, and each LF step resolves its gathers with one ``psum``:
 
     every device gathers the rows of its own block (others contribute
     zero) and the partial results are summed over the mesh -- the
     distributed form of the occ/bwt word lookups in compute_occ
     (reference: fm_index.hpp:166-182).
 
-Cost model: an LF step is one psum of a few Q-sized lanes over ICI
-(~us-scale) instead of a local gather -- latency-bound, so throughput
-still scales with the query batch; memory per chip scales 1/D.
+Only the fused tables (``lf_tab``, ``b_tab``) and the sampled SA go on
+device; the serialization-layout tables (occ1/occ2/b_words/b_occ) are
+NEVER device-resident here -- occ2 alone is ~3.1 GB at chm13 and is
+fully redundant with lf_tab (see :func:`shard_fm_arrays`).
+
+Cost model: an LF step is one psum of a 5-lane Q-sized row block over
+ICI (~us-scale) instead of a local gather -- latency-bound, so
+throughput still scales with the query batch; memory per chip scales
+1/D.
 """
 
 from __future__ import annotations
@@ -46,7 +52,15 @@ def shard_fm_arrays(mesh: Mesh, arrays: fm.FMArrays) -> fm.FMArrays:
     """Lay the row-indexed tables out sharded over the mesh (padded to
     the device count) and the small tables replicated. The result is
     what :func:`sharded_get_ranges` / :func:`sharded_locate_rows`
-    consume; padding rows are zeros and are never selected."""
+    consume; padding rows are zeros and are never selected.
+
+    The serialization-layout tables (occ1/occ2/b_words/b_occ) become
+    zero-size placeholders: the sharded query paths read only the fused
+    ``lf_tab``/``b_tab`` rows, and replicating occ2 (int32[N/16+1, 4],
+    ~3.1 GB at chm13) per chip would defeat the 1/D memory scaling this
+    module exists for. Serialize from the original (host) arrays, not
+    from this sharded view.
+    """
     d = mesh.devices.size
     row_sh = NamedSharding(mesh, P(SEQ_AXIS))
     row2_sh = NamedSharding(mesh, P(SEQ_AXIS, None))
@@ -55,47 +69,54 @@ def shard_fm_arrays(mesh: Mesh, arrays: fm.FMArrays) -> fm.FMArrays:
     def put(x, sh):
         return jax.device_put(x, sh)
 
+    def empty_like(x):
+        return put(jnp.zeros((0,) + x.shape[1:], x.dtype), repl)
+
     return fm.FMArrays(
-        bwt_words=put(_pad_rows(arrays.bwt_words, d), row_sh),
-        occ1=put(arrays.occ1, repl),  # host/serialization only
-        occ2=put(arrays.occ2, repl),
+        bwt_words=empty_like(arrays.bwt_words),  # lf_tab col 4 has it
+        occ1=empty_like(arrays.occ1),
+        occ2=empty_like(arrays.occ2),
         cnt=put(arrays.cnt, repl),
         pri=put(arrays.pri, repl),
         sa_samp=put(_pad_rows(arrays.sa_samp, d), row_sh),
-        b_words=put(_pad_rows(arrays.b_words, 2 * d), row_sh),
-        b_occ=put(_pad_rows(arrays.b_occ, d), row_sh),
+        b_words=empty_like(arrays.b_words),  # b_tab cols 1-2 have them
+        b_occ=empty_like(arrays.b_occ),  # b_tab col 0 has it
         lookup=put(arrays.lookup, repl),
-        occf=put(_pad_rows(arrays.occf, d), row2_sh),
+        lf_tab=put(_pad_rows(arrays.lf_tab, d), row2_sh),
+        b_tab=put(_pad_rows(arrays.b_tab, d), row2_sh),
     )
 
 
-def _block_gather(table: jnp.ndarray, idx: jnp.ndarray, axis: str, *cols):
+def _block_gather(table: jnp.ndarray, idx: jnp.ndarray, axis: str):
     """Masked local gather of ``table`` rows (this device's block of a
     globally row-sharded table) at GLOBAL indices ``idx``; rows owned by
     other devices contribute 0. Summing over the mesh (the caller's
     psum) completes the distributed gather."""
     rows = table.shape[0]
-    base = lax.axis_index(axis) * rows
+    base = (lax.axis_index(axis) * rows).astype(idx.dtype)
     local = idx - base
     mine = (local >= 0) & (local < rows)
     safe = jnp.clip(local, 0, rows - 1)
-    vals = table[(safe,) + cols]
+    vals = table[safe]
+    if vals.ndim > mine.ndim:
+        mine = mine[..., None]
     return jnp.where(mine, vals, jnp.zeros((), vals.dtype))
 
 
-def _occ_sharded(bwt_words, occf, pri, axis, c, i):
-    """compute_occ with row-block tables: one fused psum resolves the
-    packed-BWT word and the fused-occ row (reference: fm_index.hpp:
-    166-182)."""
-    idt = occf.dtype
-    w_idx = i // fm.OCC2_INTV
-    word_part = _block_gather(bwt_words, w_idx, axis)
-    occ_part = _block_gather(occf, w_idx, axis, c)
-    word, occv = lax.psum((word_part, occ_part), axis)
+def _occ_sharded(lf_tab, pri, axis, c, i):
+    """compute_occ against a row-sharded fused LF table: ONE psum of the
+    gathered [*, 5] row block resolves the per-symbol counts and the
+    packed BWT word together (reference: fm_index.hpp:166-182)."""
+    row = lax.psum(
+        _block_gather(lf_tab, i // fm.OCC2_INTV, axis), axis
+    )
+    word = row[..., 4]
     partial_cnt = pack.count_symbol_prefix(word, c, i % fm.OCC2_INTV)
     beg = i - i % fm.OCC2_INTV
     pass_pri = (c == 0) & (beg <= pri) & (pri < i)
-    return occv + partial_cnt.astype(idt) - pass_pri.astype(idt)
+    return (fm._sel4(row[..., :4], c) + partial_cnt).astype(
+        pri.dtype
+    ) - pass_pri.astype(pri.dtype)
 
 
 @partial(jax.jit, static_argnames=("mesh", "qlen", "lookup_len"))
@@ -105,7 +126,7 @@ def sharded_get_ranges(mesh: Mesh, arrays: fm.FMArrays,
     index (tables from :func:`shard_fm_arrays`). Same results as
     :func:`kiss_tpu.models.fm_index.get_range_packed_device`."""
 
-    def body(bwt_words, occf, cnt, pri, lookup, qwords):
+    def body(lf_tab, cnt, pri, lookup, qwords):
         q = qwords.shape[0]
         idt = lookup.dtype
         beg = jnp.zeros(q, idt)
@@ -129,14 +150,13 @@ def sharded_get_ranges(mesh: Mesh, arrays: fm.FMArrays,
             c = ((w >> (2 * (j % 16)).astype(jnp.uint32)) & 3).astype(
                 jnp.int32
             )
-            # both bounds resolved by ONE fused psum: the two gathers
-            # ride the same collective
-            nbeg = cnt[c] + _occ_sharded(
-                bwt_words, occf, pri, SEQ_AXIS, c, beg
-            )
-            nend = cnt[c] + _occ_sharded(
-                bwt_words, occf, pri, SEQ_AXIS, c, end
-            )
+            # both bounds resolved by ONE psum: the two row gathers ride
+            # the same collective as a stacked [2Q, 5] block
+            iv = jnp.concatenate([beg, end])
+            occv = _occ_sharded(lf_tab, pri, SEQ_AXIS,
+                                jnp.concatenate([c, c]), iv)
+            nbeg = cnt[c] + occv[:q]
+            nend = cnt[c] + occv[q:]
             alive = end > beg
             return (
                 jnp.where(alive, nbeg, beg),
@@ -149,50 +169,51 @@ def sharded_get_ranges(mesh: Mesh, arrays: fm.FMArrays,
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(SEQ_AXIS), P(SEQ_AXIS, None), P(), P(), P(), P()),
+        in_specs=(P(SEQ_AXIS, None), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
-    )(arrays.bwt_words, arrays.occf, arrays.cnt, arrays.pri, arrays.lookup,
-      qwords)
+    )(arrays.lf_tab, arrays.cnt, arrays.pri, arrays.lookup, qwords)
 
 
 @partial(jax.jit, static_argnames=("mesh", "sa_intv"))
 def sharded_locate_rows(mesh: Mesh, arrays: fm.FMArrays,
                         rows: jnp.ndarray, sa_intv: int):
     """Row-sharded form of ``locate_rows_device`` (vectorized compute_sa,
-    reference: fm_index.hpp:210-222): the masked LF walk's per-step
-    gathers (bwt word for the own-symbol LF, mark word, mark rank,
-    sampled SA) each become block gathers + one psum."""
+    reference: fm_index.hpp:210-222): each LF-walk step needs one fused
+    LF row and one mark row -- two block gathers, each completed by one
+    psum."""
 
-    def body(bwt_words, occf, cnt, pri, sa_samp, b_words, b_occ, rows):
-        idt = sa_samp.dtype
+    def body(lf_tab, b_tab, cnt, pri, sa_samp, rows):
+        idt = cnt.dtype
+
+        def b_row(i):
+            return lax.psum(
+                _block_gather(b_tab, i // fm.B_OCC_INTV, SEQ_AXIS), SEQ_AXIS
+            )
 
         def b_at(i):
-            part = _block_gather(b_words, i // 32, SEQ_AXIS)
-            word = lax.psum(part, SEQ_AXIS)
-            return ((word >> (i % 32).astype(jnp.uint32)) & 1) == 1
+            row = b_row(i)
+            odd = ((i // 32) % 2) == 1
+            w = jnp.where(odd, row[..., 2], row[..., 1])
+            return ((w >> (i % 32).astype(jnp.uint32)) & 1) == 1
 
         def lf_own(i):
-            w_idx = i // fm.OCC2_INTV
-            word_part = _block_gather(bwt_words, w_idx, SEQ_AXIS)
-            word = lax.psum(word_part, SEQ_AXIS)
+            row = lax.psum(
+                _block_gather(lf_tab, i // fm.OCC2_INTV, SEQ_AXIS), SEQ_AXIS
+            )
+            word = row[..., 4]
             off = (i % fm.OCC2_INTV).astype(jnp.uint32)
             c = ((word >> (2 * off)) & 3).astype(jnp.int32)
-            occ_part = _block_gather(occf, w_idx, SEQ_AXIS, c)
-            occv = lax.psum(occ_part, SEQ_AXIS)
-            partial_cnt = pack.count_symbol_prefix(
-                word, c, i % fm.OCC2_INTV
-            ).astype(idt)
+            partial_cnt = pack.count_symbol_prefix(word, c, i % fm.OCC2_INTV)
             beg = i - i % fm.OCC2_INTV
             pass_pri = (c == 0) & (beg <= pri) & (pri < i)
-            return cnt[c] + occv + partial_cnt - pass_pri.astype(idt)
+            return cnt[c] + (
+                (fm._sel4(row[..., :4], c) + partial_cnt).astype(idt)
+                - pass_pri.astype(idt)
+            )
 
         def b_rank(i):
-            blk = i // fm.B_OCC_INTV
-            off = i - blk * fm.B_OCC_INTV
-            w0 = _block_gather(b_words, 2 * blk, SEQ_AXIS)
-            w1 = _block_gather(b_words, 2 * blk + 1, SEQ_AXIS)
-            bo = _block_gather(b_occ, blk, SEQ_AXIS)
-            w0, w1, bo = lax.psum((w0, w1, bo), SEQ_AXIS)
+            row = b_row(i)
+            off = i - (i // fm.B_OCC_INTV) * fm.B_OCC_INTV
             lo = jnp.minimum(off, 32).astype(jnp.uint32)
             hi = jnp.where(
                 off > 32, off - 32, jnp.zeros((), off.dtype)
@@ -203,8 +224,10 @@ def sharded_locate_rows(mesh: Mesh, arrays: fm.FMArrays,
             m1 = jnp.where(
                 hi >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << hi) - 1
             )
-            cnt_bits = pack.popcount_u32(w0 & m0) + pack.popcount_u32(w1 & m1)
-            return bo + cnt_bits.astype(bo.dtype)
+            cnt_bits = pack.popcount_u32(row[..., 1] & m0) + pack.popcount_u32(
+                row[..., 2] & m1
+            )
+            return (row[..., 0] + cnt_bits).astype(idt)
 
         i = rows.astype(idt)
         steps = jnp.zeros_like(i)
@@ -224,8 +247,8 @@ def sharded_locate_rows(mesh: Mesh, arrays: fm.FMArrays,
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(SEQ_AXIS), P(SEQ_AXIS, None), P(), P(), P(SEQ_AXIS),
-                  P(SEQ_AXIS), P(SEQ_AXIS), P()),
+        in_specs=(P(SEQ_AXIS, None), P(SEQ_AXIS, None), P(), P(),
+                  P(SEQ_AXIS), P()),
         out_specs=P(),
-    )(arrays.bwt_words, arrays.occf, arrays.cnt, arrays.pri, arrays.sa_samp,
-      arrays.b_words, arrays.b_occ, rows)
+    )(arrays.lf_tab, arrays.b_tab, arrays.cnt, arrays.pri, arrays.sa_samp,
+      rows)

@@ -217,8 +217,11 @@ def test_uint32_index_path():
     fmi32 = FMIndex(sa_intv=4, lookup_len=3).build(text)
     fmiu = FMIndex(sa_intv=4, lookup_len=3, force_u32=True).build(text)
     a = fmiu.arrays
-    for name in ("occ1", "cnt", "pri", "sa_samp", "b_occ", "lookup", "occf"):
+    for name in ("occ1", "cnt", "pri", "sa_samp", "b_occ", "lookup"):
         assert getattr(a, name).dtype == jnp.uint32, name
+    # the fused gather tables are uint32 regardless of the index dtype
+    assert a.lf_tab.dtype == jnp.uint32 and a.lf_tab.shape[1] == 5
+    assert a.b_tab.dtype == jnp.uint32 and a.b_tab.shape[1] == 3
 
     rng = np.random.default_rng(12)
     queries = [

@@ -207,3 +207,23 @@ def test_device_path_resolves_early():
         k_ordered_suffix_array_device(jnp.asarray(text), -1)
     ).astype(np.uint32)
     np.testing.assert_array_equal(got, oracle.k_ordered_sa(text, None))
+
+
+@pytest.mark.parametrize("k", [64, 256, -1])
+def test_force_u32_matches_int32(k):
+    """The uint32 position/rank path -- what a chm13-scale text
+    (n >= 2**31) selects automatically -- produces the identical SA,
+    including the compacted tail-refinement rounds of an unbounded sort
+    (suffix_sort._tail_refine runs its wrap-proof index arithmetic
+    there)."""
+    # tandem repeats keep tie groups alive past the 64-char seed so
+    # unbounded sorts actually enter tail refinement
+    text = oracle.repeat_heavy_dna(6000, unit=29, seed=11)
+    a = k_ordered_suffix_array(text, k)
+    b = k_ordered_suffix_array(text, k, force_u32=True)
+    np.testing.assert_array_equal(a, b)
+    rnd = oracle.random_dna(4003, seed=21)
+    np.testing.assert_array_equal(
+        k_ordered_suffix_array(rnd, k),
+        k_ordered_suffix_array(rnd, k, force_u32=True),
+    )
