@@ -47,18 +47,23 @@ OCC2_INTV = 16
 B_OCC_INTV = 64
 
 # The reference build hardcodes a 32-ordered SA (reference:
-# fm_index.hpp:384-386) and relies on a subtle property of its induced
-# sort: within equal-32-prefix tie groups, members come out ordered by
-# their successor suffixes, which is exactly the consistency LF walks
-# need. A direct sorter with position tie-breaks does NOT have that
-# property (locate returns wrong positions on >=32-char repeats), and
-# the only tie order a direct sorter can guarantee LF-consistent is the
-# FULL suffix order -- where this library is bit-identical to the
-# reference anyway (tests/test_golden.py). So the default build sorts
-# fully (SORT_LEN = None -> unbounded), making locate exact for every
-# pattern length; pass sort_len=32 explicitly to reproduce the
-# reference's build shortcut (count-exact, locate-exact only off
-# repeats).
+# fm_index.hpp:384-386). An index built from a k-ordered (not fully
+# sorted) SA is NOT per-row-LF-consistent: inside equal-k-prefix tie
+# groups, lf(bwt[i], i) lands on the row of a DIFFERENT occurrence of
+# the shared context, so per-row LF walks (compute_sa,
+# fm_index.hpp:210-222) return wrong positions on >=k-char repeats.
+# The reference itself never walks rows on the CLI path -- its locate
+# is the FMTree range-BFS (fm_index.hpp:453-501), which only ever
+# applies lf to RANGE ENDPOINTS; endpoint arithmetic is pure counting
+# and counting is exact on a k-ordered SA for any context of length
+# <= k, so the BFS emits the right position SET even where row walks
+# go wrong. This library therefore keeps two locate paths:
+#   - fully-sorted SA (our default build, SORT_LEN = None): the
+#     data-parallel per-row walk (locate_rows_device) -- fastest;
+#   - anything else (sort_len-bounded builds, `.fmi` archives loaded
+#     from disk, incl. reference-written ones): the vectorized range
+#     BFS (bfs_locate_device) with the reference's exact semantics.
+# Routing is the FMIndex.full_sa flag.
 SORT_LEN = None
 
 
@@ -533,6 +538,87 @@ def locate_rows_device(idx: FMArrays, rows: jnp.ndarray, sa_intv: int):
     return idx.sa_samp[_b_rank(idx, i)] + steps
 
 
+def _bfs_emit(idx: FMArrays, beg: jnp.ndarray, end: jnp.ndarray,
+              sa_intv: int, capacity: int):
+    """Vectorized FMTree BFS (reference: fm_index.hpp:453-501).
+
+    Expands every query range by all 4 symbols per depth -- lf applied
+    to RANGE ENDPOINTS only, never per row -- and emits, at each depth d,
+    the sa_samp span of marked rows inside each range, +d. Endpoint lf
+    is pure counting, so this is exact for an index whose source SA is
+    only k-ordered (k >= sa_intv - 1 + pattern length), in particular
+    for `.fmi` archives written by the reference binary (its build is
+    32-ordered, fm_index.hpp:384-386), where the per-row walk of
+    locate_rows_device returns wrong positions on long repeats. The
+    reference expands singleton ranges via bwt[beg] only
+    (fm_index.hpp:486-489); uniform all-4 expansion is semantically
+    identical (the other 3 subranges are empty) and keeps shapes static.
+
+    Each occurrence at text position p is emitted exactly once, at
+    depth p % sa_intv, so the total emission count equals
+    sum(end - beg); ``capacity`` must be >= that. Returns
+    (pos uint32[capacity], valid bool[capacity]) with positions grouped
+    query-major (contiguous per query).
+    """
+    Q = beg.shape[0]
+    bs, es = beg[:, None], end[:, None]
+    seg_b, seg_l, seg_d = [], [], []
+    for d in range(sa_intv):
+        rb = _b_rank(idx, bs)
+        re = _b_rank(idx, es)
+        seg_b.append(rb)
+        seg_l.append(re - rb)
+        seg_d.append(jnp.full(bs.shape[1], d, jnp.uint32))
+        if d + 1 < sa_intv:
+            w = bs.shape[1]
+            ii_b = jnp.broadcast_to(bs[:, :, None], (Q, w, 4)).reshape(
+                Q, 4 * w
+            )
+            ii_e = jnp.broadcast_to(es[:, :, None], (Q, w, 4)).reshape(
+                Q, 4 * w
+            )
+            cc = jnp.broadcast_to(
+                jnp.arange(4, dtype=jnp.int32)[None, None, :], (Q, w, 4)
+            ).reshape(Q, 4 * w)
+            bs = _lf(idx, cc, ii_b)
+            es = _lf(idx, cc, ii_e)
+    segb = jnp.concatenate(seg_b, axis=1).reshape(-1)
+    segl = jnp.concatenate(seg_l, axis=1).reshape(-1)
+    segd = jnp.tile(jnp.concatenate(seg_d), (Q,))
+    starts = jnp.cumsum(segl) - segl  # exclusive prefix
+    r = jnp.arange(capacity, dtype=segl.dtype)
+    # side='right' maps each output slot past the zero-length segments
+    # that share a start with their successor
+    s = jnp.searchsorted(starts, r, side="right") - 1
+    total = starts[-1] + segl[-1]
+    valid = r < total
+    samp = segb[s] + (r - starts[s])
+    samp = jnp.where(valid, samp, jnp.zeros((), samp.dtype))
+    pos = idx.sa_samp[samp].astype(jnp.uint32) + segd[s]
+    return jnp.where(valid, pos, 0), valid
+
+
+@partial(jax.jit, static_argnames=("sa_intv", "capacity"))
+def bfs_locate_device(idx: FMArrays, beg: jnp.ndarray, end: jnp.ndarray,
+                      sa_intv: int, capacity: int):
+    return _bfs_emit(idx, beg, end, sa_intv, capacity)
+
+
+@partial(jax.jit, static_argnames=("sa_intv", "capacity"))
+def batch_bfs_stats_device(
+    idx: FMArrays, beg: jnp.ndarray, end: jnp.ndarray, sa_intv: int,
+    capacity: int,
+):
+    """(lo_sums, hi_sums) checksum partials like
+    :func:`batch_locate_stats_device`, but via the range BFS -- the
+    locate path for indexes whose SA order is not known fully sorted."""
+    pos, valid = _bfs_emit(idx, beg, end, sa_intv, capacity)
+    pos = jnp.where(valid, pos, 0)
+    lo = (pos & 0xFFFF).astype(jnp.int32).reshape(-1, _CHK_CHUNK)
+    hi = (pos >> 16).astype(jnp.int32).reshape(-1, _CHK_CHUNK)
+    return lo.sum(axis=1), hi.sum(axis=1)
+
+
 # ---------------------------------------------------------------------------
 # host-facing model
 # ---------------------------------------------------------------------------
@@ -555,6 +641,11 @@ class FMIndex:
     # force the uint32 index dtype on small corpora (testing hook; texts
     # with n + 1 >= 2**31 switch automatically, see _index_dtype)
     force_u32: bool = False
+    # True when the index is known built from a FULLY sorted SA: locate
+    # may use the fast per-row LF walk. False (bounded-sort_len builds,
+    # archives loaded from disk): locate uses the range BFS, the
+    # reference's own semantics (see the SORT_LEN note above).
+    full_sa: bool = True
 
     @property
     def index_dtype(self):
@@ -571,6 +662,9 @@ class FMIndex:
         ref = np.ascontiguousarray(ref, dtype=np.int8)
         idt = _index_dtype(len(ref) + 1, self.force_u32)
         if sa is None:
+            self.full_sa = (
+                sort_len is None or sort_len < 0 or sort_len >= len(ref)
+            )
             sa = k_ordered_suffix_array(
                 ref, -1 if sort_len is None else sort_len, as_numpy=False,
                 force_u32=self.force_u32,
@@ -650,11 +744,33 @@ class FMIndex:
         )
         return np.asarray(out[: rows.size]).astype(np.uint32)
 
+    def _bfs_positions(self, beg, end) -> np.ndarray:
+        """Positions for per-query ranges via the vectorized range BFS
+        (grouped query-major; exact on any k-ordered source SA)."""
+        idt = np.dtype(self.index_dtype)
+        beg = np.atleast_1d(np.asarray(beg)).astype(idt)
+        end = np.atleast_1d(np.asarray(end)).astype(idt)
+        total = int((end - beg).sum())
+        if total == 0:
+            return np.empty(0, dtype=np.uint32)
+        cap = 64
+        while cap < total:
+            cap *= 2
+        pos, _valid = bfs_locate_device(
+            self.arrays, jnp.asarray(beg), jnp.asarray(end),
+            self.sa_intv, cap,
+        )
+        return np.asarray(pos[:total]).astype(np.uint32)
+
     def get_offsets(self, beg: int, end: int) -> np.ndarray:
         """Positions for one row range (reference: fm_index.hpp:453-501).
-        Same result set as the FMTree BFS, computed by the vectorized LF
-        walk."""
-        return self.locate_rows(np.arange(beg, end, dtype=np.int32))
+        Same result set as the FMTree BFS: computed by the vectorized LF
+        walk when the index is known built from a fully sorted SA, and
+        by the vectorized BFS itself otherwise (loaded archives,
+        bounded-sort_len builds)."""
+        if self.sa_intv == 1 or self.full_sa:
+            return self.locate_rows(np.arange(beg, end, dtype=np.int32))
+        return self._bfs_positions(beg, end)
 
     def get_offsets_traditional(self, beg: int, end: int) -> np.ndarray:
         """Alias of :meth:`get_offsets` for API parity: the reference's
@@ -684,6 +800,10 @@ class FMIndex:
         starts = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=starts[1:])
         total = int(starts[-1])
+        if self.sa_intv != 1 and not self.full_sa:
+            # BFS emission is grouped query-major, so the same starts
+            # partition applies
+            return lens, self._bfs_positions(beg, end), starts
         # ragged row materialization on host (sizes only known post-range)
         rows = np.repeat(beg.astype(np.int64), lens) + (
             np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lens)
@@ -706,9 +826,12 @@ class FMIndex:
         cap = 128
         while cap < total:
             cap *= 2
-        lo, hi = batch_locate_stats_device(
-            self.arrays, beg, end, self.sa_intv, cap
+        kernel = (
+            batch_locate_stats_device
+            if self.sa_intv == 1 or self.full_sa
+            else batch_bfs_stats_device
         )
+        lo, hi = kernel(self.arrays, beg, end, self.sa_intv, cap)
         checksum = int(np.asarray(lo, dtype=np.int64).sum()) + (
             int(np.asarray(hi, dtype=np.int64).sum()) << 16
         )
@@ -790,6 +913,10 @@ class FMIndex:
             raise ValueError(".fmi archive has trailing bytes")
 
         self.n_rows = N
+        # archive provenance is unknown (the `.fmi` format records no
+        # sort depth; the reference binary writes 32-ordered indexes) --
+        # locate must use the order-robust BFS path
+        self.full_sa = False
         self.lookup_len = max(len(lookup) - 1, 1).bit_length() // 2
         idt = np.dtype(_index_dtype(N, self.force_u32))
         occ1_d = jnp.asarray(occ1.astype(idt))

@@ -321,3 +321,53 @@ def test_ranges_chunked_splits(monkeypatch):
     occ, chk = fmi.batch_query_stats(queries)
     counts = sum(len(oracle.search_all(text, q)) for q in queries)
     assert occ == counts
+
+
+def test_bounded_sort_build_locates_via_bfs():
+    """An index built from a 32-ordered SA (the reference CLI's own
+    build shortcut, fm_index.hpp:384-386) is NOT per-row-LF-consistent
+    on >=32-char repeats; locate must route through the range BFS and
+    still match brute force (reference: fm_index.hpp:453-501)."""
+    text = oracle.repeat_heavy_dna(6_000, unit=37, seed=3)
+    fmi = FMIndex(sa_intv=4, lookup_len=0).build(text, sort_len=32)
+    assert not fmi.full_sa
+    rng = np.random.default_rng(5)
+    queries = np.stack([
+        text[p : p + 12]
+        for p in rng.integers(0, len(text) - 12, 40)
+    ])
+    lens, positions, starts = fmi.batch_query(queries)
+    want_occ, want_sum = 0, 0
+    for qi in range(len(queries)):
+        want = oracle.search_all(text, queries[qi])
+        got = np.sort(positions[starts[qi] : starts[qi + 1]])
+        np.testing.assert_array_equal(got, np.sort(want))
+        want_occ += len(want)
+        want_sum += int(want.sum())
+    occ, checksum = fmi.batch_query_stats(queries)
+    assert (occ, checksum) == (want_occ, want_sum)
+    # single-range surface
+    beg, end, offs = fmi.get_range(queries[0])
+    assert offs == 0
+    np.testing.assert_array_equal(
+        np.sort(fmi.get_offsets(beg, end)),
+        np.sort(oracle.search_all(text, queries[0])),
+    )
+
+
+def test_bfs_locate_matches_walk_on_full_sa(built):
+    """On a fully sorted index both locate paths are exact; the BFS
+    kernel must agree with the per-row walk (same sets, same stats)."""
+    from kiss_tpu.models import fm_index as fm
+
+    text, fmi = built
+    rng = np.random.default_rng(11)
+    queries = np.stack([
+        text[p : p + 9]
+        for p in rng.integers(0, len(text) - 9, 32)
+    ])
+    occ, checksum = fmi.batch_query_stats(queries)  # walk path
+    beg, end, _ = fmi.get_ranges(queries)
+    pos = fmi._bfs_positions(beg, end)
+    assert len(pos) == occ
+    assert int(pos.astype(np.int64).sum()) == checksum

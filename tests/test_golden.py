@@ -118,3 +118,40 @@ def test_reference_strategies_disagree_on_ties():
     np.testing.assert_array_equal(
         data["sa_kiss1_k-1"], data["sa_kiss2_k-1"]
     )
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=os.path.basename)
+def test_load_reference_fmi_and_query(path):
+    """Cross-implementation READ compatibility: the ``.fmi`` archive
+    WRITTEN BY THE COMPILED REFERENCE BINARY loads through our reader
+    and answers the stored pattern batch with the reference's own
+    occ/checksum -- including repeat3k, where the reference's SA tie
+    order differs from ours (reference: fm_index.hpp:620-646 load)."""
+    import io
+    import struct
+
+    from kiss_tpu.models.fm_index import FMIndex
+
+    data = np.load(path)
+    fmi = FMIndex(sa_intv=4).load(io.BytesIO(data["fmi"].tobytes()))
+    assert fmi.n_rows == len(data["text"]) + 1
+
+    raw = data["patterns"].tobytes()
+    qlen, nq = struct.unpack("<II", raw[:8])
+    queries = np.frombuffer(raw[8:], dtype=np.int8).reshape(nq, qlen)
+    occ, checksum = fmi.batch_query_stats(queries)
+    want_occ, want_checksum = data["query_stats"]
+    assert occ == want_occ
+    assert checksum == want_checksum
+
+    # single-pattern surface over the loaded index too
+    text = data["text"]
+    q = text[100:111]
+    beg, end, offs = fmi.get_range(q)
+    from tests import oracle as _oracle
+
+    hits = _oracle.search_all(text, q)
+    assert offs == 0 and end - beg == len(hits)
+    np.testing.assert_array_equal(
+        np.sort(fmi.get_offsets(beg, end)), np.sort(hits)
+    )
