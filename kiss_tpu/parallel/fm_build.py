@@ -238,11 +238,23 @@ def build_index_sharded(
         if sa_intv == 1:
             sa_samp = sa
         else:
-            n_samp = (N + sa_intv - 1) // sa_intv
+            # slice to the canonical sample count rounded up to an even
+            # shard multiple, then explicitly re-balance: a bare prefix
+            # slice of the sorted [npad] array would land the whole
+            # sample on the first devices (~3 GB on one chip at chm13),
+            # while keeping the full padded length wastes sa_intv x the
+            # memory. Rows in [ceil(N/sa_intv), ns_pad) are pad
+            # (unmarked rows sort behind every real mark rank) and are
+            # never gathered; trim_canonical slices them off for
+            # serialization.
             _, samp_sorted = sort_impl(
                 (samp_key, sa_pad.astype(jnp.uint32)), num_keys=2
             )
-            sa_samp = samp_sorted[:n_samp].astype(idt)
+            ns = -(-N // sa_intv)
+            ns_pad = -(-ns // (d * _ROW_ALIGN)) * (d * _ROW_ALIGN)
+            sa_samp = jax.lax.with_sharding_constraint(
+                samp_sorted[:ns_pad].astype(idt), row_sh
+            )
 
         occ2 = occ2.astype(jnp.int32)
         lookup = jnp.array([0, N], idt)
@@ -251,7 +263,6 @@ def build_index_sharded(
             b_words, b_occ, lookup, lf_tab, b_tab,
         )
 
-    del row_sh  # shardings propagate from the shard_map/dsort internals
     return run(jnp.asarray(text), jnp.asarray(sa))
 
 
@@ -268,16 +279,19 @@ def trim_canonical(arrays: fm.FMArrays, N: int, sa_intv: int) -> fm.FMArrays:
         # the single-device build keeps 1-row placeholders for the mark
         # structures when the SA is unsampled
         nbw, nbo = 1, 1
+        ns = arrays.sa_samp.shape[0]
     else:
         nbw = 2 * (-(-N // 64))
         # ceil, not floor+1: when N % 64 == 0 the single-device build's
         # c64 blocking yields exactly N/64 rows (queries never read past
         # row (N-1)//64, so both counts serve every lookup)
         nbo = -(-N // fm.B_OCC_INTV)
+        ns = -(-N // sa_intv)
     return arrays._replace(
         bwt_words=arrays.bwt_words[:nw],
         occ1=arrays.occ1[:nb1],
         occ2=arrays.occ2[:nb2],
+        sa_samp=arrays.sa_samp[:ns],
         b_words=arrays.b_words[:nbw],
         b_occ=arrays.b_occ[:nbo],
         lf_tab=arrays.lf_tab[:nb2],

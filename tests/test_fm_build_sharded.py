@@ -121,3 +121,25 @@ def test_sharded_build_1e8_chm13_readiness():
     text = oracle.random_dna(n, seed=0)
     single, sharded, mesh = _build_both(text, 4, 8, force_u32=True)
     _assert_canonical_equal(single, sharded, n + 1, 4)
+
+
+def test_sharded_build_row_tables_actually_sharded():
+    """Every row-indexed table of the sharded build must be evenly
+    split over the mesh -- device 0 holds ~1/D of the bytes, never the
+    whole table (regression: the sampled-SA slice used to collapse its
+    sharding onto one device)."""
+    import jax
+
+    text = oracle.random_dna(40_000, seed=23)
+    _single, sharded, mesh = _build_both(text, 4, 8)
+    dev0 = mesh.devices.flat[0]
+    d = mesh.devices.size
+    for name in ("bwt_words", "occ1", "occ2", "sa_samp", "b_words",
+                 "b_occ", "lf_tab", "b_tab"):
+        x = getattr(sharded, name)
+        mine = sum(
+            s.data.nbytes for s in x.addressable_shards if s.device == dev0
+        )
+        assert mine <= x.nbytes // d + 1024, (
+            f"{name}: device-0 holds {mine} of {x.nbytes} bytes"
+        )
