@@ -17,10 +17,19 @@ from __future__ import annotations
 
 import argparse
 import csv
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the TPU platform plugin re-asserts itself at import time; the env
+    # var alone is not enough (same dance as conftest.py /
+    # chm13_readiness.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def device_peak_bytes():

@@ -304,6 +304,30 @@ def _lf_own_symbol(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _lf_all4(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
+    """lf(c, i) for ALL 4 symbols from ONE lf_tab row gather, shape
+    [..., 4]. The fused row already carries every symbol's absolute
+    count plus the packed word, so a 4-way range expansion costs one
+    gather per endpoint, not four (reference runs compute_occ once per
+    (symbol, bound), fm_index.hpp:453-501 + 166-182)."""
+    idt = idx.cnt.dtype
+    row = idx.lf_tab[i // OCC2_INTV]
+    word = row[..., 4]
+    t = i % OCC2_INTV
+    partial = jnp.stack(
+        [
+            pack.count_symbol_prefix(word, jnp.uint32(c), t)
+            for c in range(4)
+        ],
+        axis=-1,
+    )
+    beg = i - t
+    pass_pri = (beg <= idx.pri) & (idx.pri < i)  # applies to symbol 0 only
+    occ = (row[..., :4] + partial).astype(idt)
+    occ = occ.at[..., 0].add(-pass_pri.astype(idt))
+    return idx.cnt[None, :].astype(idt) + occ
+
+
 def _b_rank(idx: FMArrays, i: jnp.ndarray) -> jnp.ndarray:
     """Vectorized compute_b_occ (reference: fm_index.hpp:189-208) as one
     ``b_tab`` row gather (rank prefix + both mark words)."""
@@ -571,17 +595,8 @@ def _bfs_emit(idx: FMArrays, beg: jnp.ndarray, end: jnp.ndarray,
         seg_d.append(jnp.full(bs.shape[1], d, jnp.uint32))
         if d + 1 < sa_intv:
             w = bs.shape[1]
-            ii_b = jnp.broadcast_to(bs[:, :, None], (Q, w, 4)).reshape(
-                Q, 4 * w
-            )
-            ii_e = jnp.broadcast_to(es[:, :, None], (Q, w, 4)).reshape(
-                Q, 4 * w
-            )
-            cc = jnp.broadcast_to(
-                jnp.arange(4, dtype=jnp.int32)[None, None, :], (Q, w, 4)
-            ).reshape(Q, 4 * w)
-            bs = _lf(idx, cc, ii_b)
-            es = _lf(idx, cc, ii_e)
+            bs = _lf_all4(idx, bs).reshape(Q, 4 * w)
+            es = _lf_all4(idx, es).reshape(Q, 4 * w)
     segb = jnp.concatenate(seg_b, axis=1).reshape(-1)
     segl = jnp.concatenate(seg_l, axis=1).reshape(-1)
     segd = jnp.tile(jnp.concatenate(seg_d), (Q,))

@@ -701,15 +701,33 @@ def _normalize_k(k) -> int | None:
     return k
 
 
+def _mesh_size_for(num_threads) -> int:
+    """Map the reference's thread knob onto the TPU parallelism knob
+    (SURVEY.md P9: TBB global_control thread cap -> mesh size): the
+    effective device count is min(num_threads, visible devices), so
+    reference habits like ``-t 24`` on a single chip degrade gracefully
+    to the single-device path."""
+    if not num_threads or num_threads <= 1:
+        return 1
+    avail = len(jax.devices())
+    d = min(int(num_threads), avail)
+    if d < num_threads:
+        timing.log_debug(
+            "-t %d clamped to %d visible device(s)", num_threads, d
+        )
+    return d
+
+
 class _SorterBase:
     """API facade matching the reference sorter contract
     (reference: include/biovoltron/algo/sort/sorter.hpp:7-10,
     kiss1_sorter.hpp:8-50): static ``get_suffix_array_dna`` /
     ``get_suffix_array`` / ``prepare_aligned_ref``.
 
-    ``num_threads`` is accepted for signature parity but ignored: on TPU
-    the parallelism knob is the device mesh, not a thread count
-    (reference: src/main.cpp:23-26 TBB global_control).
+    ``num_threads`` maps onto the TPU parallelism knob, the device mesh
+    (reference: src/main.cpp:23-26 caps TBB threads): values above 1
+    run the distributed sort over a mesh of min(num_threads, visible
+    devices); 0/1/None run the single-device pipeline.
     """
 
     SA_dtype = np.uint32
@@ -720,6 +738,18 @@ class _SorterBase:
 
     @staticmethod
     def get_suffix_array_dna(ref, k=256, num_threads=None) -> np.ndarray:
+        d = _mesh_size_for(num_threads)
+        if d > 1:
+            from kiss_tpu.parallel import make_mesh
+            from kiss_tpu.parallel.dsort import (
+                sharded_k_ordered_suffix_array,
+            )
+
+            sa = sharded_k_ordered_suffix_array(
+                make_mesh(d), jnp.asarray(np.ascontiguousarray(
+                    ref, dtype=np.int8)), k,
+            )
+            return np.asarray(sa).astype(np.uint32)
         return k_ordered_suffix_array(ref, k, pack.DNA)
 
     @staticmethod

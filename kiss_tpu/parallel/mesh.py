@@ -36,6 +36,14 @@ SEQ_AXIS = "seq"
 def make_mesh(n_devices: int | None = None, axis: str = SEQ_AXIS) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"mesh of {n_devices} devices requested but only "
+                f"{len(devs)} visible ({devs[0].platform}); for a virtual "
+                "CPU mesh set XLA_FLAGS=--xla_force_host_platform_device_"
+                "count=N and jax.config.update('jax_platforms', 'cpu') "
+                "before first jax use"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

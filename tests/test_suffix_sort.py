@@ -227,3 +227,22 @@ def test_force_u32_matches_int32(k):
         k_ordered_suffix_array(rnd, k),
         k_ordered_suffix_array(rnd, k, force_u32=True),
     )
+
+
+def test_num_threads_maps_to_mesh():
+    """The facade's num_threads knob is the mesh size (SURVEY.md P9:
+    the reference caps TBB threads, src/main.cpp:23-26): -t 4 runs the
+    distributed sort over 4 devices, and over-asking clamps to the
+    visible device count -- both bit-identical to the single-device
+    path."""
+    from kiss_tpu.ops.suffix_sort import Kiss1Sorter
+
+    text = oracle.repeat_heavy_dna(5_000, unit=37, seed=9)
+    single = Kiss1Sorter.get_suffix_array_dna(text, 256)
+    np.testing.assert_array_equal(
+        Kiss1Sorter.get_suffix_array_dna(text, 256, num_threads=4), single
+    )
+    # reference-habit -t 24 on an 8-device host: clamped, not an error
+    np.testing.assert_array_equal(
+        Kiss1Sorter.get_suffix_array_dna(text, 256, num_threads=24), single
+    )
