@@ -140,10 +140,26 @@ def build_index_device(text: jnp.ndarray, sa: jnp.ndarray, sa_intv: int,
     sa = sa.astype(idt)
 
     # ---- BWT: bwt[i] = ref[sa[i]-1], 0 at the sentinel row
-    # (reference: fm_index.hpp:310-329); sa - 1 guarded against uint32
-    # wraparound at the sentinel.
-    prev = jnp.where(sa == 0, jnp.zeros((), idt), sa - 1)
-    bwt = jnp.where(sa == 0, jnp.int8(0), text[prev]).astype(jnp.int8)
+    # (reference: fm_index.hpp:310-329). Computed by the sort-gather
+    # trick rather than ``text[sa - 1]``: prev over the non-sentinel
+    # rows is a permutation of [0, n) (sentinel -> unique key n), so
+    # after sorting (prev, row) by prev, global slot j needs exactly
+    # text[j] -- an ELEMENTWISE alignment -- and one more sort by row
+    # returns the symbols to BWT order. Two 2-operand sorts ~= 285 ms
+    # at 48.8M vs ~780 ms for the full-N random gather
+    # (ROADMAP measured platform facts; same dataflow as the sharded
+    # build, kiss_tpu/parallel/fm_build.py).
+    row = jnp.arange(N, dtype=jnp.uint32)
+    sau = sa.astype(jnp.uint32)
+    prevv = jnp.where(sau == 0, jnp.uint32(n), sau - 1)
+    _, rows_s = lax.sort((prevv, row), num_keys=1, is_stable=False)
+    textN = jnp.zeros(N, jnp.uint32).at[:n].set(
+        text.view(jnp.uint8).astype(jnp.uint32)
+        if text.dtype == jnp.int8
+        else text.astype(jnp.uint32)
+    )
+    _, bwt_u = lax.sort((rows_s, textN), num_keys=1, is_stable=False)
+    bwt = bwt_u.astype(jnp.int8)
     pri = jnp.argmin(sa).astype(idt)  # row with sa == 0
     bwt_words = pack.pack_dibits_u32(bwt)
 
@@ -192,8 +208,18 @@ def build_index_device(text: jnp.ndarray, sa: jnp.ndarray, sa_intv: int,
         c64 = c64[:nb64]
         b_occ = (jnp.cumsum(c64) - c64).astype(idt)
         n_samp = (N + sa_intv - 1) // sa_intv
-        (samp_idx,) = jnp.nonzero(b, size=n_samp, fill_value=0)
-        sa_samp = sa[samp_idx]
+        # sampled-SA compaction by one 2-operand sort: each marked row's
+        # key is its global mark rank (= target slot), unmarked rows get
+        # unique out-of-range keys -- ~142 ms at 48.8M vs ~630 ms for
+        # jnp.nonzero + a N/4 gather (ROADMAP measured platform facts;
+        # the dataflow form of build_sa's serial scan,
+        # reference: fm_index.hpp:331-371).
+        bi = b.astype(jnp.uint32)
+        brank = jnp.cumsum(bi) - bi
+        samp_key = jnp.where(b, brank, jnp.uint32(n_samp) + row)
+        _, samp_sorted = lax.sort((samp_key, sau), num_keys=1,
+                                  is_stable=False)
+        sa_samp = samp_sorted[:n_samp].astype(idt)
 
     lookup = jnp.array([0, N], idt)  # placeholder; LOOKUP_LEN=0 form
     return FMArrays(
