@@ -371,3 +371,22 @@ def test_bfs_locate_matches_walk_on_full_sa(built):
     pos = fmi._bfs_positions(beg, end)
     assert len(pos) == occ
     assert int(pos.astype(np.int64).sum()) == checksum
+
+
+def test_bounded_sort_build_bfs_sa_intv2():
+    """Range-BFS locate at a different sampling interval (the BFS tree
+    depth/width follow sa_intv)."""
+    text = oracle.repeat_heavy_dna(4_000, unit=41, seed=13)
+    fmi = FMIndex(sa_intv=2, lookup_len=0).build(text, sort_len=32)
+    assert not fmi.full_sa
+    rng = np.random.default_rng(7)
+    queries = np.stack([
+        text[p : p + 10] for p in rng.integers(0, len(text) - 10, 25)
+    ])
+    occ, checksum = fmi.batch_query_stats(queries)
+    want_occ = want_sum = 0
+    for q in queries:
+        h = oracle.search_all(text, q)
+        want_occ += len(h)
+        want_sum += int(h.sum())
+    assert (occ, checksum) == (want_occ, want_sum)
