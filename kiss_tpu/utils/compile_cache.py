@@ -1,10 +1,16 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache (OPT-IN).
 
-Compiling the sort pipelines on the tunneled TPU takes minutes per
-program; a persistent cache makes every process after the first start
-hot (CLI invocations, benchmarks, the driver's bench run). Enabled by
-the CLI and bench entry points; opt out with KISS_TPU_NO_CACHE=1 or
-redirect with KISS_TPU_CACHE=<dir>.
+Compiling the sort pipelines on the tunneled TPU takes ~30-60 s per
+program; a persistent cache would make every process after the first
+start hot. However, on the tunneled TPU backend a process that READS a
+cache entry written by an earlier process can deadlock at its first
+device operation (measured: cold-cache runs complete, warm-cache runs
+of the identical program hang forever in executable deserialization;
+the hang also swallows plain transfers). Until that backend path is
+trustworthy the cache is DISABLED unless KISS_TPU_CACHE_ENABLE=1 is
+set; KISS_TPU_CACHE=<dir> still redirects the directory. If a run
+hangs with the cache on, clear ~/.cache/kiss_tpu_xla and unset the
+enable flag.
 """
 
 from __future__ import annotations
@@ -17,6 +23,8 @@ _enabled = False
 def enable() -> None:
     global _enabled
     if _enabled or os.environ.get("KISS_TPU_NO_CACHE"):
+        return
+    if os.environ.get("KISS_TPU_CACHE_ENABLE") != "1":
         return
     import jax
 
