@@ -16,8 +16,9 @@ corpus: device index build seconds (full-sort SA + BWT/occ/marks/SA
 sample; the `.fmi` disk serialization is excluded -- on this tunneled
 platform the host link runs at ~5-8 MB/s, which measures the tunnel,
 not the machine), and 1M len-25 pattern counts per second end-to-end
-(host patterns -> 2-bit packed transfer -> backward search -> total),
-with the count+locate checksum printed for conformance.
+(host patterns -> 2-bit packed transfer -> backward search -> per-query
+uint32 counts pulled back to the host, chunk-overlapped), with the
+count+locate checksum printed for conformance.
 
 Timing covers the full device pipeline (host-driven rounds included);
 the SA stays on device (a genome-scale device->host pull is not part of
@@ -145,13 +146,14 @@ def bench_fmindex(text_dev, text_host):
           file=sys.stderr)
 
     pats = sample_patterns(text_host, NQ, QLEN)
-    beg, end, _ = fmi.get_ranges(pats)  # compile + warm
+    cnts = fmi.counts(pats)  # compile + warm
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        beg, end, _ = fmi.get_ranges(pats)
+        cnts = fmi.counts(pats)
         times.append(time.perf_counter() - t0)
     count_s = min(times)
+    assert int(cnts.sum()) > 0
     print(f"# fmindex_query count-path times={[round(t, 4) for t in times]}",
           file=sys.stderr)
 

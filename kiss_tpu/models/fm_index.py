@@ -527,7 +527,54 @@ def _ranges_chunked(idx: FMArrays, queries: np.ndarray, lookup_len: int):
     return beg, end, offs
 
 
+@partial(jax.jit, static_argnames=("qlen", "lookup_len"))
+def counts_packed_device(idx: FMArrays, qwords: jnp.ndarray, qlen: int,
+                         lookup_len: int) -> jnp.ndarray:
+    """Per-query occurrence counts (end - beg) for 2-bit packed
+    patterns, as uint32. The count-only form of the batch loop
+    (reference: include/command/fmindex_query.hpp:66-99 accumulates
+    ``occ += end - beg``): keeping only counts quarters the
+    device->host payload, which dominates end-to-end count batches on
+    tunneled links (~5 MB/s D2H; measured in
+    experiments/micro_build_query.py)."""
+    beg, end, _ = get_range_packed_device(idx, qwords, qlen, lookup_len)
+    return (end - beg).astype(jnp.uint32)
+
+
+def _counts_chunked(idx: FMArrays, queries: np.ndarray,
+                    lookup_len: int) -> np.ndarray:
+    """End-to-end host counts: pack, ship chunk-wise, search, and pull
+    each chunk's uint32 counts back with ``copy_to_host_async`` as soon
+    as its search is dispatched -- chunk i's D2H overlaps chunk i+1's
+    transfer and search (everything between the numpy conversions is
+    async)."""
+    from kiss_tpu.ops.pack import np_pack_queries_2bit
+
+    Q, m = queries.shape
+    qwords = np_pack_queries_2bit(queries)
+    outs = []
+    for i in range(0, Q, _Q_CHUNK):
+        part = jax.device_put(qwords[i : i + _Q_CHUNK])
+        cnts = counts_packed_device(idx, part, m, lookup_len)
+        cnts.copy_to_host_async()
+        outs.append(cnts)
+    return np.concatenate([np.asarray(c) for c in outs])
+
+
 _CHK_CHUNK = 128
+
+
+def _ragged_seg_ids(starts: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """slot -> segment id for a ragged expansion: the LAST segment whose
+    exclusive-prefix start is <= slot (the searchsorted(side='right')-1
+    contract, which maps slots past zero-length segments sharing a start
+    onto their successor). Computed as one scatter-add + one cumsum --
+    a log2(capacity)-round binary search gathers ~22x `capacity` rows
+    at bench scale (~0.9 s measured); this form is two passes (~30 ms).
+    Starts past `capacity` are dropped; their slots are masked by the
+    caller's validity test."""
+    inc = jnp.zeros(capacity, jnp.int32).at[starts].add(1, mode="drop")
+    return jnp.cumsum(inc) - 1
 
 
 @partial(jax.jit, static_argnames=("sa_intv", "capacity"))
@@ -551,7 +598,7 @@ def batch_locate_stats_device(
     lens = end - beg
     starts = jnp.cumsum(lens) - lens  # exclusive prefix
     r = jnp.arange(capacity, dtype=lens.dtype)
-    q = jnp.searchsorted(starts, r, side="right") - 1
+    q = _ragged_seg_ids(starts, capacity)
     rows = beg[q] + (r - starts[q])
     total = starts[-1] + lens[-1]
     valid = r < total
@@ -628,9 +675,7 @@ def _bfs_emit(idx: FMArrays, beg: jnp.ndarray, end: jnp.ndarray,
     segd = jnp.tile(jnp.concatenate(seg_d), (Q,))
     starts = jnp.cumsum(segl) - segl  # exclusive prefix
     r = jnp.arange(capacity, dtype=segl.dtype)
-    # side='right' maps each output slot past the zero-length segments
-    # that share a start with their successor
-    s = jnp.searchsorted(starts, r, side="right") - 1
+    s = _ragged_seg_ids(starts, capacity)
     total = starts[-1] + segl[-1]
     valid = r < total
     samp = segb[s] + (r - starts[s])
@@ -765,7 +810,22 @@ class FMIndex:
         beg, end, offs = _ranges_chunked(
             self.arrays, queries, self.lookup_len
         )
+        # start all three D2H transfers before blocking on any of them
+        for x in (beg, end, offs):
+            if hasattr(x, "copy_to_host_async"):
+                x.copy_to_host_async()
         return np.asarray(beg), np.asarray(end), np.asarray(offs)
+
+    def counts(self, queries: np.ndarray) -> np.ndarray:
+        """Per-query occurrence counts, uint32[Q] -- the count-only
+        batch loop (reference: include/command/fmindex_query.hpp:66-99
+        with the locate body skipped). 3x cheaper end-to-end than
+        :meth:`get_ranges` on tunneled links: only counts cross back to
+        the host, chunk-overlapped (see :func:`_counts_chunked`)."""
+        queries = np.ascontiguousarray(queries, dtype=np.int8)
+        if queries.size == 0:
+            return np.empty(0, dtype=np.uint32)
+        return _counts_chunked(self.arrays, queries, self.lookup_len)
 
     def locate_rows(self, rows: np.ndarray) -> np.ndarray:
         idt = np.dtype(self.index_dtype)

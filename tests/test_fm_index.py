@@ -323,6 +323,24 @@ def test_ranges_chunked_splits(monkeypatch):
     assert occ == counts
 
 
+def test_counts_matches_get_ranges(monkeypatch):
+    """The count-only path (end - beg, async chunk pulls) must equal
+    get_ranges' counts, across chunk seams and with lookup seeding."""
+    import kiss_tpu.models.fm_index as fm
+
+    text = oracle.random_dna(10_000, seed=9)
+    for lookup_len in (0, 4):
+        fmi = FMIndex(sa_intv=4, lookup_len=lookup_len).build(text)
+        rng = np.random.default_rng(12)
+        queries = rng.integers(0, 4, (1000, 9)).astype(np.int8)
+        beg, end, _ = fmi.get_ranges(queries)
+        monkeypatch.setattr(fm, "_Q_CHUNK", 256)
+        got = fmi.counts(queries)
+        assert got.dtype == np.uint32
+        np.testing.assert_array_equal(got, (end - beg).astype(np.uint32))
+    assert fmi.counts(np.empty((0, 9), np.int8)).size == 0
+
+
 def test_bounded_sort_build_locates_via_bfs():
     """An index built from a 32-ordered SA (the reference CLI's own
     build shortcut, fm_index.hpp:384-386) is NOT per-row-LF-consistent
