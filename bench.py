@@ -170,7 +170,7 @@ def bench_fmindex(text_dev, text_host):
         f"checksum={checksum} elapsed={stats_s:.4f}s",
         file=sys.stderr,
     )
-    return build_s, NQ / count_s, occ, checksum
+    return build_s, NQ / count_s, stats_s, occ, checksum
 
 
 def main() -> None:
@@ -187,7 +187,9 @@ def main() -> None:
 
     best = bench_suffix_sort(text_dev)
     mbps = N / 1e6 / best
-    build_s, counts_per_s, occ, checksum = bench_fmindex(text_dev, text_host)
+    build_s, counts_per_s, stats_s, occ, checksum = bench_fmindex(
+        text_dev, text_host
+    )
 
     extra = [
         {
@@ -203,6 +205,15 @@ def main() -> None:
             "vs_baseline": None,  # reference publishes no batch number
             "occ": int(occ),
             "checksum": int(checksum),
+        },
+        {
+            # full reference batch-loop accumulators: count + locate +
+            # Sum(positions) checksum for 1M patterns, end to end
+            # (fmindex_query.hpp:87-94)
+            "metric": "fmindex_query_1M_len25_stats_seconds",
+            "value": round(stats_s, 3),
+            "unit": "s",
+            "vs_baseline": None,  # reference publishes no batch number
         },
     ]
     print(
