@@ -118,59 +118,163 @@ def bench_suffix_sort(text_dev) -> float:
     return best
 
 
+def _min_of(k, fn, label):
+    """Run fn() k times after the caller's warmup; return (best, last
+    result). Tunnel-bound paths vary run to run, so every reported
+    number is a min over repeats (ADVICE r3)."""
+    times, out = [], None
+    for _ in range(k):
+        t0 = time.perf_counter()
+        out = fn()
+        times.append(time.perf_counter() - t0)
+    print(f"# {label} times={[round(t, 4) for t in times]}", file=sys.stderr)
+    return min(times), out
+
+
 def bench_fmindex(text_dev, text_host):
-    """(build_seconds, counts_per_s, occ, checksum): device index build
-    + end-to-end 1M-pattern count throughput + conformance stats."""
+    """Build + query metrics, with device-side and end-to-end timings
+    reported separately (VERDICT r3 #5: tunnel D2H variance must not
+    pollute round-over-round comparisons).
+
+    Paths measured:
+      - build (full-sort default) and build -k 32 (reference parity,
+        fm_index.hpp:384-386) -- the end-to-end A/B of VERDICT r3 #8;
+      - 1M len-25 counts: end-to-end (host->host) and device-only;
+      - 1M stats (count+locate+checksum, fmindex_query.hpp:87-94) via
+        the fast per-row walk (full-sort index): e2e and device-only;
+      - same stats via the range BFS on the -k 32 index -- the locate
+        path every reference-written archive routes through;
+      - same stats on an archive saved to disk and loaded back (the
+        CLI-real path, sidecar-routed to the walk).
+    """
+    import io
+
+    import jax
+    import jax.numpy as jnp
+
     from kiss_tpu.models import fm_index as fm
+    from kiss_tpu.ops.pack import np_pack_queries_2bit
     from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array_device
     from kiss_tpu.utils import timing
 
-    def build():
+    def build(sort_len):
         fmi = fm.FMIndex(sa_intv=4, lookup_len=0)
-        sa = k_ordered_suffix_array_device(text_dev, fm.SORT_LEN)
+        sa = k_ordered_suffix_array_device(text_dev, sort_len)
         arrays = fm.build_index_device(text_dev, sa, fmi.sa_intv)
         fmi.arrays = arrays
         fmi.n_rows = N + 1
+        fmi.full_sa = sort_len is None
         fmi._build_lookup()
         timing.sync(fmi.arrays)
         return fmi
 
-    fmi = build()  # compile
-    times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fmi = build()
-        times.append(time.perf_counter() - t0)
-    build_s = min(times)
-    print(f"# fmindex_build times={[round(t, 4) for t in times]}",
-          file=sys.stderr)
+    build(fm.SORT_LEN)  # compile
+    build_s, fmi = _min_of(2, lambda: build(fm.SORT_LEN), "fmindex_build")
+    build(32)  # compile
+    build32_s, fmi32 = _min_of(2, lambda: build(32), "fmindex_build -k 32")
 
     pats = sample_patterns(text_host, NQ, QLEN)
-    cnts = fmi.counts(pats)  # compile + warm
-    times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        cnts = fmi.counts(pats)
-        times.append(time.perf_counter() - t0)
-    count_s = min(times)
-    assert int(cnts.sum()) > 0
-    print(f"# fmindex_query count-path times={[round(t, 4) for t in times]}",
-          file=sys.stderr)
 
-    # conformance stats over the full batch (count + locate + checksum,
-    # the reference batch loop accumulators, fmindex_query.hpp:87-94);
-    # run twice so the reported time is steady-state, not compile time
-    # (the locate program compiles per capacity bucket)
-    fmi.batch_query_stats(pats)
-    t0 = time.perf_counter()
-    occ, checksum = fmi.batch_query_stats(pats)
-    stats_s = time.perf_counter() - t0
+    # ---- counts: end-to-end (pack+ship+search+pull), then device-only
+    fmi.counts(pats)  # compile + warm
+    count_s, cnts = _min_of(2, lambda: fmi.counts(pats),
+                            "fmindex_query counts e2e")
+    assert int(cnts.sum()) > 0
+    qwords_dev = jax.device_put(jnp.asarray(np_pack_queries_2bit(pats)))
+    timing.sync(qwords_dev)
+
+    def counts_dev():
+        c = fm.counts_packed_device(fmi.arrays, qwords_dev, QLEN, 0)
+        timing.sync(c)
+        return c
+
+    counts_dev()  # compile
+    count_dev_s, _ = _min_of(3, counts_dev, "fmindex_query counts device")
+
+    # ---- stats via the fast walk (full-sort index): device-only
+    beg, end, _ = fm.get_range_packed_device(fmi.arrays, qwords_dev, QLEN, 0)
+    total = int(jnp.sum(end - beg))
+    cap = 128
+    while cap < total:
+        cap *= 2
+
+    def stats_walk_dev():
+        b, e, _ = fm.get_range_packed_device(
+            fmi.arrays, qwords_dev, QLEN, 0
+        )
+        lo, hi = fm.batch_locate_stats_device(fmi.arrays, b, e, 4, cap)
+        occ = int(jnp.sum(e - b))
+        chk = int(np.asarray(lo, dtype=np.int64).sum()) + (
+            int(np.asarray(hi, dtype=np.int64).sum()) << 16
+        )
+        return occ, chk
+
+    stats_walk_dev()  # compile
+    stats_dev_s, (occ, checksum) = _min_of(
+        3, stats_walk_dev, "fmindex_query stats device(walk)"
+    )
+
+    # ---- stats end-to-end (host patterns in, two scalars out)
+    fmi.batch_query_stats(pats)  # warm every capacity bucket
+    stats_s, (occ_e, chk_e) = _min_of(
+        3, lambda: fmi.batch_query_stats(pats), "fmindex_query stats e2e"
+    )
+    assert (occ_e, chk_e) == (occ, checksum)
+
+    # ---- stats via the range BFS (the k-ordered-archive locate path)
+    def stats_bfs_dev():
+        b, e, _ = fm.get_range_packed_device(
+            fmi32.arrays, qwords_dev, QLEN, 0
+        )
+        lo, hi = fm.batch_bfs_stats_device(fmi32.arrays, b, e, 4, cap)
+        occ = int(jnp.sum(e - b))
+        chk = int(np.asarray(lo, dtype=np.int64).sum()) + (
+            int(np.asarray(hi, dtype=np.int64).sum()) << 16
+        )
+        return occ, chk
+
+    stats_bfs_dev()  # compile
+    stats_bfs_dev_s, (occ_b, chk_b) = _min_of(
+        2, stats_bfs_dev, "fmindex_query stats device(bfs)"
+    )
+    assert (occ_b, chk_b) == (occ, checksum), (occ_b, chk_b, occ, checksum)
+    fmi32.batch_query_stats(pats)
+    stats_bfs_s, (occ_b2, chk_b2) = _min_of(
+        2, lambda: fmi32.batch_query_stats(pats),
+        "fmindex_query stats e2e(bfs)",
+    )
+    assert (occ_b2, chk_b2) == (occ, checksum)
+
+    # ---- the CLI-real path: archive round-trip, sidecar-routed locate
+    buf = io.BytesIO()
+    fmi.save(buf)
+    buf.seek(0)
+    fmil = fm.FMIndex(sa_intv=4).load(buf)
+    fmil.full_sa = True  # what the `.meta` sidecar records for this build
+    fmil.batch_query_stats(pats)  # warm
+    stats_loaded_s, (occ_l, chk_l) = _min_of(
+        2, lambda: fmil.batch_query_stats(pats),
+        "fmindex_query stats e2e(loaded archive)",
+    )
+    assert (occ_l, chk_l) == (occ, checksum)
+
     print(
-        f"# fmindex_query count+locate stats: occ={occ} "
-        f"checksum={checksum} elapsed={stats_s:.4f}s",
+        f"# fmindex_query stats: occ={occ} checksum={checksum}",
         file=sys.stderr,
     )
-    return build_s, NQ / count_s, stats_s, occ, checksum
+    return {
+        "build_s": build_s,
+        "build32_s": build32_s,
+        "counts_per_s": NQ / count_s,
+        "counts_device_s": count_dev_s,
+        "stats_s": stats_s,
+        "stats_device_s": stats_dev_s,
+        "stats_bfs_s": stats_bfs_s,
+        "stats_bfs_device_s": stats_bfs_dev_s,
+        "stats_loaded_s": stats_loaded_s,
+        "occ": occ,
+        "checksum": checksum,
+    }
 
 
 def main() -> None:
@@ -187,34 +291,52 @@ def main() -> None:
 
     best = bench_suffix_sort(text_dev)
     mbps = N / 1e6 / best
-    build_s, counts_per_s, stats_s, occ, checksum = bench_fmindex(
-        text_dev, text_host
-    )
+    r = bench_fmindex(text_dev, text_host)
+
+    def m(name, value, unit, **kw):
+        return {
+            "metric": name,
+            "value": round(value, 3 if unit == "s" else 1),
+            "unit": unit,
+            "vs_baseline": None,  # reference publishes no number for these
+            **kw,
+        }
 
     extra = [
-        {
-            "metric": "fmindex_build_seconds_drosophila",
-            "value": round(build_s, 3),
-            "unit": "s",
-            "vs_baseline": None,  # no reference build time in BASELINE.md
-        },
-        {
-            "metric": "fmindex_query_1M_len25_counts_per_s",
-            "value": round(counts_per_s, 1),
-            "unit": "patterns/s",
-            "vs_baseline": None,  # reference publishes no batch number
-            "occ": int(occ),
-            "checksum": int(checksum),
-        },
-        {
-            # full reference batch-loop accumulators: count + locate +
-            # Sum(positions) checksum for 1M patterns, end to end
-            # (fmindex_query.hpp:87-94)
-            "metric": "fmindex_query_1M_len25_stats_seconds",
-            "value": round(stats_s, 3),
-            "unit": "s",
-            "vs_baseline": None,  # reference publishes no batch number
-        },
+        m("fmindex_build_seconds_drosophila", r["build_s"], "s"),
+        # reference-parity sort depth (fm_index.hpp:384-386 hardcodes 32)
+        m("fmindex_build_k32_seconds_drosophila", r["build32_s"], "s"),
+        m(
+            "fmindex_query_1M_len25_counts_per_s",
+            r["counts_per_s"],
+            "patterns/s",
+            occ=int(r["occ"]),
+            checksum=int(r["checksum"]),
+        ),
+        m(
+            "fmindex_query_1M_len25_counts_device_s",
+            r["counts_device_s"],
+            "s",
+        ),
+        # full reference batch-loop accumulators: count + locate +
+        # Sum(positions) checksum for 1M patterns
+        # (fmindex_query.hpp:87-94); *_device_s excludes the host<->device
+        # tunnel (~5-8 MB/s here), the e2e variants include it
+        m("fmindex_query_1M_len25_stats_seconds", r["stats_s"], "s"),
+        m("fmindex_query_1M_len25_stats_device_s", r["stats_device_s"], "s"),
+        # the locate path of k-ordered (e.g. reference-written) archives
+        m("fmindex_query_1M_len25_stats_bfs_seconds", r["stats_bfs_s"], "s"),
+        m(
+            "fmindex_query_1M_len25_stats_bfs_device_s",
+            r["stats_bfs_device_s"],
+            "s",
+        ),
+        # archive round-trip + sidecar-routed stats: the CLI-real path
+        m(
+            "fmindex_query_1M_len25_stats_loaded_seconds",
+            r["stats_loaded_s"],
+            "s",
+        ),
     ]
     print(
         json.dumps(

@@ -17,6 +17,7 @@ import sys
 import numpy as np
 
 from kiss_tpu import BANNER, VERSION
+from kiss_tpu.models import fm_index as fm_meta
 from kiss_tpu.models.fm_index import FMIndex
 from kiss_tpu.ops.suffix_sort import Kiss1Sorter, Kiss2Sorter
 from kiss_tpu.utils import codec, fasta, timing
@@ -107,6 +108,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     fq = sub.add_parser("fmindex_query", help="query a saved FM-index")
     _add_generic(fq)
+    fq.add_argument(
+        "--assume-full-sa",
+        action="store_true",
+        dest="assume_full_sa",
+        help="treat the archive as built from a FULLY sorted suffix "
+        "array: locate uses the fast per-row LF walk instead of the "
+        "order-robust range BFS. Archives built by this tool's "
+        "fmindex_build record this in a `.meta` sidecar and route "
+        "automatically; the flag exists for archives whose sidecar was "
+        "lost. WRONG positions on long repeats if the SA was only "
+        "k-ordered (e.g. reference-binary archives, which are 32-ordered"
+        " -- reference: fm_index.hpp:384-386).",
+    )
     fq.add_argument("-q", "--query", type=str, help="single pattern to search")
     fq.add_argument(
         "-n", "--headn", type=int, default=10, metavar="NUM",
@@ -160,8 +174,17 @@ def fmindex_build_main(args) -> None:
     if sort_len is not None and sort_len < 0:
         sort_len = None
     fmi.build(seq, sort_len=sort_len)
-    with open(args.fasta + ".fmi", "wb") as fout:
+    fmi_path = args.fasta + ".fmi"
+    with open(fmi_path, "wb") as fout:
         fmi.save(fout)
+    # provenance sidecar: lets fmindex_query route locate through the
+    # fast per-row walk when (and only when) the source SA was fully
+    # sorted (the `.fmi` bytes stay reference-compatible; see
+    # models/fm_index.py SORT_LEN + META_SUFFIX notes)
+    fm_meta.write_meta(
+        fmi_path, full_sa=fmi.full_sa, sort_len=sort_len,
+        lookup_len=args.lookup_len,
+    )
 
 
 def _ordinal(x: int) -> str:
@@ -176,8 +199,16 @@ def fmindex_query_main(args) -> None:
     _reject_generic(args)
     seq = _read_folded(args.fasta)
     fmi = FMIndex(sa_intv=4, lookup_len=0)
-    with open(args.fasta + ".fmi", "rb") as fin:
+    fmi_path = args.fasta + ".fmi"
+    with open(fmi_path, "rb") as fin:
         fmi.load(fin)
+    # locate routing: the fast per-row walk is exact only over a fully
+    # sorted source SA; trust the build-time sidecar (or the explicit
+    # flag) -- otherwise stay on the order-robust BFS (correct for
+    # reference-written 32-ordered archives)
+    meta = fm_meta.read_meta(fmi_path)
+    if args.assume_full_sa or (meta is not None and meta.get("full_sa")):
+        fmi.full_sa = True
 
     if args.query:
         iq = codec.fold_to_acgt(codec.to_istring(args.query))

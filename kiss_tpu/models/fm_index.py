@@ -30,6 +30,7 @@ word gather + one masked popcount.
 from __future__ import annotations
 
 import dataclasses
+import json
 from functools import partial
 from typing import NamedTuple
 
@@ -703,6 +704,46 @@ def batch_bfs_stats_device(
     lo = (pos & 0xFFFF).astype(jnp.int32).reshape(-1, _CHK_CHUNK)
     hi = (pos >> 16).astype(jnp.int32).reshape(-1, _CHK_CHUNK)
     return lo.sum(axis=1), hi.sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# archive provenance sidecar
+# ---------------------------------------------------------------------------
+
+# The `.fmi` format records no sort depth (reference: fm_index.hpp:
+# 591-646), so a loaded archive cannot know whether its source SA was
+# fully sorted -- and locate routing (fast per-row walk vs order-robust
+# range BFS, see the SORT_LEN note) depends on exactly that. Rather than
+# break byte-compatibility, builds written by THIS tool record their
+# provenance in a JSON sidecar next to the archive; reference-written
+# archives have no sidecar and keep the conservative BFS routing.
+META_SUFFIX = ".meta"
+
+
+def write_meta(fmi_path: str, *, full_sa: bool, sort_len,
+               lookup_len: int) -> None:
+    """Record build provenance for ``fmi_path`` in ``<path>.meta``."""
+    meta = {
+        "format": 1,
+        "writer": "kiss-tpu",
+        "full_sa": bool(full_sa),
+        "sort_len": sort_len,
+        "lookup_len": int(lookup_len),
+    }
+    with open(fmi_path + META_SUFFIX, "w") as f:
+        json.dump(meta, f)
+        f.write("\n")
+
+
+def read_meta(fmi_path: str) -> dict | None:
+    """Provenance for ``fmi_path``, or None (absent/unreadable sidecar --
+    e.g. an archive written by the reference binary)."""
+    try:
+        with open(fmi_path + META_SUFFIX) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return meta if isinstance(meta, dict) else None
 
 
 # ---------------------------------------------------------------------------
