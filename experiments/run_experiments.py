@@ -33,13 +33,23 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 
 
 def device_peak_bytes():
+    """Peak memory for the CSV ``space`` column (reference parity:
+    experiment_a.sh:34-35 records getPeakRSS). Device HBM peak when the
+    platform exposes memory_stats (axon/tunneled TPU does not); host
+    peak RSS otherwise -- the latter is exactly what the reference
+    records."""
+    import resource
+
     import jax
 
     try:
-        stats = jax.local_devices()[0].memory_stats()
-        return int(stats.get("peak_bytes_in_use", 0))
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = int(stats.get("peak_bytes_in_use", 0))
+        if peak:
+            return peak
     except Exception:
-        return 0
+        pass
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
 
 
 def main():

@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=sorted(SORTING_ALGORITHMS),
         default="PARALLEL_SORTING",
         metavar="ALGO",
+        help="PARALLEL_SORTING: 64-char raw-word seed + 8-key rank "
+        "rounds (kISS-1's bucketed direct sort re-expressed; the fast "
+        "default). PREFIX_DOUBLING: 16-char super-char seed + 2-key "
+        "doubling rounds (kISS-2's prefix doubling re-expressed). "
+        "Identical output order either way (exact-k cut, position "
+        "tiebreaks).",
     )
     ss.add_argument("fasta", help="FASTA/text file path")
 

@@ -84,6 +84,34 @@ def _np_seed_word(text: np.ndarray, word: int, n_chars: int = 16,
     return acc
 
 
+def _np_word0_padded(text: np.ndarray, extra: int) -> np.ndarray:
+    """uint32[N + extra] where entry p packs characters [p, p+16) of the
+    zero-padded text big-endian -- seed word w of suffix p is then just
+    ``W0p[p + 16 * w]``, so ONE array serves every seed word via shifted
+    gathers.
+
+    Built in two strided passes instead of 16 full-array shift-accums:
+    block words B[q] = chars [16q, 16q+16), then
+    W0p[16q + r] = (B[q] << 2r) | (B[q+1] >> (32 - 2r)).
+    """
+    n = text.shape[0]
+    total = n + 1 + extra
+    nb = -(-total // 16) + 1  # blocks covering every window + one spare
+    vals = np.zeros(16 * (nb + 1), dtype=np.uint32)
+    src = text.view(np.uint8) if text.dtype == np.int8 else text
+    vals[:n] = src
+    B = np.zeros(nb + 1, dtype=np.uint32)
+    for j in range(16):
+        B[:nb] |= vals[j : j + 16 * nb : 16] << np.uint32(2 * (15 - j))
+    out = np.empty(16 * nb, dtype=np.uint32)
+    out[0::16] = B[:nb]
+    for r in range(1, 16):
+        out[r::16] = (B[:nb] << np.uint32(2 * r)) | (
+            B[1 : nb + 1] >> np.uint32(32 - 2 * r)
+        )
+    return out[:total]
+
+
 def _np_fused_end_pos(n: int, cover: int) -> np.ndarray:
     """Host mirror of pack.fused_end_pos (same uint32 encoding)."""
     p = np.arange(n + 1, dtype=np.uint32)
@@ -101,7 +129,7 @@ def _bucket_ids(text: np.ndarray, chars: int) -> np.ndarray:
 
 
 def bucketize(text: np.ndarray, chars: int = BUCKET_CHARS,
-              chunk: int = _CHUNK):
+              chunk: int = _CHUNK, bid: np.ndarray | None = None):
     """Chunked counting sort of all suffix positions by their first
     ``chars`` characters. Returns (positions uint32[N] grouped
     bucket-major, bucket_starts int64[n_buckets + 1]).
@@ -109,12 +137,14 @@ def bucketize(text: np.ndarray, chars: int = BUCKET_CHARS,
     The external form of the reference's histogram -> bucket prefix-sum
     -> scatter split (reference: kiss1_core.hpp:41-83); within-bucket
     order is arbitrary here (the batch sorts re-sort by full keys).
+    ``bid`` lets callers reuse precomputed bucket ids.
     """
     n = text.shape[0]
     N = n + 1
     nb = 1 << (2 * chars)
-    bid = _bucket_ids(text, chars)
-    if chars <= 8:
+    if bid is None:
+        bid = _bucket_ids(text, chars)
+    if chars <= 8 and bid.dtype != np.uint16:
         # numpy's stable argsort radix-sorts 16-bit ints -- much faster
         # per chunk than the 32-bit mergesort path
         bid = bid.astype(np.uint16)
@@ -360,26 +390,41 @@ def external_k_ordered_suffix_array(
         if verbose:
             timing.log_info("external_sort: %s", msg)
 
+    n_words = -(-seed // 16)
+    fast = seed % 16 == 0  # every seed word is a full 16-char window
+    w0p = _np_word0_padded(text, 16 * (n_words - 1)) if fast else None
+    bid = None
+    if fast:
+        bid = (w0p[:N] >> np.uint32(32 - 2 * bchars)).astype(
+            np.uint16 if bchars <= 8 else np.uint32
+        )
     with timing.stage("external bucketize"):
-        sa, bstarts = bucketize(text, bchars)
+        sa, bstarts = bucketize(text, bchars, bid=bid)
+    del bid
     log(f"bucketize done (2^{2 * bchars} buckets)")
 
     # ---- seed sort in bucket-aligned batches ------------------------------
-    n_words = -(-seed // 16)
     bounds = _batch_bounds(bstarts, batch_rows)
     del bstarts
-    # per-word full gather columns (built one word at a time, kept for
-    # the batch loop; ~4 x 4 bytes/char for the 64-char seed)
+    # per-word full gather columns (~4 x 4 bytes/char for the 64-char
+    # seed); in the fast path every word is a shifted gather from the
+    # single padded word-0 array
     cols = []
     for w in range(n_words):
-        chars = min(seed - 16 * w, 16)
-        full = _np_seed_word(text, w, chars)
-        cols.append(full[sa])
-        del full
+        if fast:
+            cols.append(w0p[sa + np.uint32(16 * w)])
+        else:
+            chars = min(seed - 16 * w, 16)
+            full = _np_seed_word(text, w, chars)
+            cols.append(full[sa])
+            del full
         gc.collect()
-    fused_full = _np_fused_end_pos(n, seed)
-    fcol = fused_full[sa]
-    del fused_full
+    del w0p
+    # fused end/pos word computed elementwise from the gathered
+    # positions (pack.fused_end_pos semantics, no N-sized temp)
+    nu = np.uint32(n)
+    covf = np.uint32(seed)
+    fcol = np.where(nu - sa < covf, nu - sa, sa + covf)
     gc.collect()
     log(f"seed columns built; {len(bounds)} batches")
 

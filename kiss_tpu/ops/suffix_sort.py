@@ -125,25 +125,37 @@ def _decompose(target: int, levels: list[int], seed: int):
     return keys, rem, off
 
 
-def _make_plan(n: int, k: int | None, alphabet: pack.Alphabet) -> _SortPlan:
-    seed_max = _seed_max(alphabet)
+def _make_plan(
+    n: int, k: int | None, alphabet: pack.Alphabet,
+    seed_chars: int | None = None, max_keys: int = MAX_RANK_KEYS,
+) -> _SortPlan:
+    """Round plan. The default (wide) shape is the PARALLEL_SORTING
+    strategy: a seed as wide as SEED_WORDS raw words, then rounds of up
+    to MAX_RANK_KEYS rank keys (coverage x8/round). ``seed_chars`` /
+    ``max_keys`` reshape it -- PREFIX_DOUBLING passes (16, 2): a
+    16-char super-char seed (exactly kISS-2's l = 16 bases per uint32
+    encoding, reference: kiss2_core.hpp:862-863) and 2-key doubling
+    rounds (rank[p], rank[p + cover] -- the reference's sort_sa_blocks
+    key pair, kiss2_core.hpp:102-111,251), coverage x2/round."""
+    seed_max = seed_chars or _seed_max(alphabet)
+    seed_max = min(seed_max, _seed_max(alphabet))
     unbounded = k is None or k < 0 or k > n
     if unbounded:
         # comparing n characters fully distinguishes all suffixes
         # (reference: k = -1 wraps to SIZE_MAX, README.md:56); rounds of
-        # MAX_RANK_KEYS full blocks until the early exit fires
+        # max_keys full blocks until the early exit fires
         rounds = []
         cover = seed_max
         while cover < n:
             rounds.append(
                 _Round(
-                    tuple((cover, j * cover) for j in range(MAX_RANK_KEYS)),
+                    tuple((cover, j * cover) for j in range(max_keys)),
                     0,
                     0,
-                    cover * MAX_RANK_KEYS,
+                    cover * max_keys,
                 )
             )
-            cover *= MAX_RANK_KEYS
+            cover *= max_keys
         return _SortPlan(seed_max, tuple(rounds), True)
 
     if k <= seed_max:
@@ -154,7 +166,7 @@ def _make_plan(n: int, k: int | None, alphabet: pack.Alphabet) -> _SortPlan:
     cover = seed_max
     while cover < k:
         # how far can one round reach with full blocks of known levels?
-        reach = cover * MAX_RANK_KEYS
+        reach = cover * max_keys
         if reach >= k:
             keys, tail, off = _decompose(k, levels, seed_max)
             rounds.append(_Round(tuple(keys), tail, off, k))
@@ -162,7 +174,7 @@ def _make_plan(n: int, k: int | None, alphabet: pack.Alphabet) -> _SortPlan:
         else:
             rounds.append(
                 _Round(
-                    tuple((cover, j * cover) for j in range(MAX_RANK_KEYS)),
+                    tuple((cover, j * cover) for j in range(max_keys)),
                     0,
                     0,
                     reach,
@@ -642,9 +654,23 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
     return sa
 
 
+def _plan_shape(strategy: str, alphabet: pack.Alphabet):
+    """(seed_chars, max_keys) for a strategy name. "wide" is the
+    PARALLEL_SORTING shape (widest seed, 8-key rounds); "doubling" is
+    the PREFIX_DOUBLING shape (one super-char seed -- 16 DNA bases per
+    uint32, reference: kiss2_core.hpp:862-863 -- and 2-key doubling
+    rounds, reference: kiss2_core.hpp:251,764-785). Both produce the
+    identical exact-k + position-tiebreak order; they differ in round
+    structure and cost."""
+    if strategy == "doubling":
+        return (16 if alphabet is pack.DNA else alphabet.chars_per_word, 2)
+    assert strategy == "wide", strategy
+    return (None, MAX_RANK_KEYS)
+
+
 def k_ordered_suffix_array(
     ref, k=256, alphabet: pack.Alphabet = pack.DNA, as_numpy: bool = True,
-    force_u32: bool = False,
+    force_u32: bool = False, strategy: str = "wide",
 ):
     """Host entry point: int8 text -> uint32 SA (length n+1).
 
@@ -666,7 +692,8 @@ def k_ordered_suffix_array(
     if n == 0:
         sa0 = np.zeros(1, dtype=np.uint32)
         return sa0 if as_numpy else jnp.asarray(sa0)
-    plan = _make_plan(n, _normalize_k(k), alphabet)
+    seed_chars, max_keys = _plan_shape(strategy, alphabet)
+    plan = _make_plan(n, _normalize_k(k), alphabet, seed_chars, max_keys)
 
     with timing.stage("k_ordered_suffix_array") as out:
         text = jnp.asarray(ref)
@@ -679,16 +706,18 @@ def k_ordered_suffix_array(
     return sa
 
 
-@partial(jax.jit, static_argnames=("k", "alphabet"))
+@partial(jax.jit, static_argnames=("k", "alphabet", "strategy"))
 def k_ordered_suffix_array_device(
-    text: jnp.ndarray, k: int | None = 256, alphabet: pack.Alphabet = pack.DNA
+    text: jnp.ndarray, k: int | None = 256,
+    alphabet: pack.Alphabet = pack.DNA, strategy: str = "wide",
 ) -> jnp.ndarray:
     """Fully-jitted single-program core: int8 text of length n -> int32
     SA of length n+1. Same ordering contract as the host path; useful
     inside larger jitted programs (SPMD pipelines, fused index builds).
     """
     n = text.shape[0]
-    plan = _make_plan(n, _normalize_k(k), alphabet)
+    seed_chars, max_keys = _plan_shape(strategy, alphabet)
+    plan = _make_plan(n, _normalize_k(k), alphabet, seed_chars, max_keys)
     return _run_plan(text, plan, alphabet, jittable=True)
 
 
@@ -731,13 +760,14 @@ class _SorterBase:
     """
 
     SA_dtype = np.uint32
+    strategy = "wide"
 
     @staticmethod
     def prepare_aligned_ref(seq) -> np.ndarray:
         return np.ascontiguousarray(seq, dtype=np.int8)
 
-    @staticmethod
-    def get_suffix_array_dna(ref, k=256, num_threads=None) -> np.ndarray:
+    @classmethod
+    def get_suffix_array_dna(cls, ref, k=256, num_threads=None) -> np.ndarray:
         d = _mesh_size_for(num_threads)
         if d > 1:
             from kiss_tpu.parallel import make_mesh
@@ -747,27 +777,42 @@ class _SorterBase:
 
             sa = sharded_k_ordered_suffix_array(
                 make_mesh(d), jnp.asarray(np.ascontiguousarray(
-                    ref, dtype=np.int8)), k,
+                    ref, dtype=np.int8)), k, strategy=cls.strategy,
             )
             return np.asarray(sa).astype(np.uint32)
-        return k_ordered_suffix_array(ref, k, pack.DNA)
+        return k_ordered_suffix_array(
+            ref, k, pack.DNA, strategy=cls.strategy
+        )
 
-    @staticmethod
-    def get_suffix_array(ref, k=256, num_threads=None) -> np.ndarray:
-        return k_ordered_suffix_array(ref, k, pack.GENERAL)
+    @classmethod
+    def get_suffix_array(cls, ref, k=256, num_threads=None) -> np.ndarray:
+        return k_ordered_suffix_array(
+            ref, k, pack.GENERAL, strategy=cls.strategy
+        )
 
 
 class Kiss1Sorter(_SorterBase):
-    """PARALLEL_SORTING strategy facade (reference: kiss1_sorter.hpp)."""
+    """PARALLEL_SORTING strategy facade (reference: kiss1_sorter.hpp):
+    widest raw-word seed (64 DNA chars in 4 words + the fused end/pos
+    word), then up-to-8-key rank-block rounds -- the TPU re-expression
+    of the reference's bucketed direct sort (kiss1_core.hpp:23-145)."""
+
+    strategy = "wide"
 
 
 class Kiss2Sorter(_SorterBase):
-    """PREFIX_DOUBLING strategy facade (reference: kiss2_sorter.hpp).
+    """PREFIX_DOUBLING strategy facade (reference: kiss2_sorter.hpp):
+    a single 16-char super-char seed (exactly kISS-2's 16-bases-per-
+    uint32 encoding, reference: kiss2_core.hpp:862-863) followed by
+    2-key doubling rounds sorting (rank[p], rank[p + cover], pos) with
+    coverage x2 per round -- the dataflow form of kISS-2's
+    sort_sa_blocks / prefix_doubling loop (kiss2_core.hpp:251,764-785).
 
-    On TPU both reference strategies collapse onto the same rank-block
-    sort dataflow: the packed-word seed sort IS the kISS-1 bucket sort
-    generalized, and the wide rank sort IS kISS-2's doubling loop
-    collapsed into one stable pass. Both facades therefore share one
-    core and one (stronger) ordering contract: exact-k cut with position
-    tiebreaks.
-    """
+    Both strategies implement the SAME (stronger-than-reference)
+    ordering contract -- exact-k cut, position tiebreaks -- so their
+    outputs are bit-identical; they differ in round structure and cost
+    (the wide strategy sorts fewer total words and is the default /
+    faster choice on TPU, mirroring the reference where kISS-1 wins at
+    small k and kISS-2 at k = -1)."""
+
+    strategy = "doubling"

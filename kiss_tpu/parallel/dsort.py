@@ -236,7 +236,8 @@ def make_sharded_sort_impl(mesh: Mesh, axis: str, algorithm: str = "auto"):
 
 
 def sharded_k_ordered_suffix_array(mesh: Mesh, text, k, axis: str = "seq",
-                                   algorithm: str = "auto"):
+                                   algorithm: str = "auto",
+                                   strategy: str = "wide"):
     """k-ordered SA with the text and every intermediate sharded over
     the sequence axis and all global sorts on the distributed sort
     network (columnsort by default, see :func:`make_sharded_sort_impl`).
@@ -246,8 +247,10 @@ def sharded_k_ordered_suffix_array(mesh: Mesh, text, k, axis: str = "seq",
     from kiss_tpu.ops import pack, suffix_sort
 
     sort_impl = make_sharded_sort_impl(mesh, axis, algorithm)
+    seed_chars, max_keys = suffix_sort._plan_shape(strategy, pack.DNA)
     plan = suffix_sort._make_plan(
-        text.shape[0], suffix_sort._normalize_k(k), pack.DNA
+        text.shape[0], suffix_sort._normalize_k(k), pack.DNA,
+        seed_chars, max_keys,
     )
 
     key = (mesh, axis, algorithm, plan)

@@ -101,10 +101,34 @@ def sync(x) -> None:
             break
 
 
+def _memory_line():
+    """(peak device bytes, peak host RSS bytes) -- the reference
+    experiment protocol records peak RSS per run (getPeakRSS,
+    reference: experiment/src/kiss-1.cpp:15-19); the tunneled TPU
+    platform exposes no memory_stats, so the device part may be 0."""
+    import resource
+
+    dev = 0
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        dev = int(stats.get("peak_bytes_in_use", 0))
+    except Exception:
+        pass
+    host = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    return dev, host
+
+
 @contextlib.contextmanager
 def stage(name: str, *, block_on=None):
     """Log ``<name> elapsed <seconds>`` at debug level on exit, after
-    syncing on any pending device work handed in via ``block_on``."""
+    syncing on any pending device work handed in via ``block_on``.
+    With KISS_TPU_LOG_MEM=1 a second debug line reports per-stage peak
+    device bytes + host RSS (the reference experiment protocol's space
+    column, experiment_a.sh:34-35)."""
+    import os
+
     sw = Stopwatch()
     result = {}
     try:
@@ -114,3 +138,9 @@ def stage(name: str, *, block_on=None):
         if pending is not None:
             sync(pending)
         _LOGGER.debug("%s elapsed %.6f", name, sw.elapsed())
+        if os.environ.get("KISS_TPU_LOG_MEM"):
+            dev, host = _memory_line()
+            _LOGGER.debug(
+                "%s peak_device_bytes %d peak_host_rss_bytes %d",
+                name, dev, host,
+            )

@@ -78,6 +78,15 @@ def test_oversized_tie_group_raises():
         )
 
 
+def test_word0_padded_matches_generic():
+    text = oracle.random_dna(1000, seed=5)
+    w0p = external_sort._np_word0_padded(text, 48)
+    for w in range(4):
+        want = external_sort._np_seed_word(text, w, 16)
+        got = w0p[16 * w : 16 * w + want.size]
+        np.testing.assert_array_equal(got, want)
+
+
 def test_sortedness_property_large():
     """The reference's own oracle (tests/kiss.cpp:26-28) at a size that
     spans many batches."""

@@ -246,3 +246,54 @@ def test_num_threads_maps_to_mesh():
     np.testing.assert_array_equal(
         Kiss1Sorter.get_suffix_array_dna(text, 256, num_threads=24), single
     )
+
+
+def test_prefix_doubling_is_a_distinct_strategy():
+    """-s PREFIX_DOUBLING selects a genuinely different round plan
+    (16-char super-char seed + 2-key doubling rounds, the kISS-2 shape,
+    reference: kiss2_core.hpp:251,764-785,862-863) that still produces
+    the identical exact-k + position-tiebreak order."""
+    from kiss_tpu.ops import pack
+    from kiss_tpu.ops.suffix_sort import _make_plan, _plan_shape
+
+    n, k = 200_000, 256
+    wide = _make_plan(n, k, pack.DNA, *_plan_shape("wide", pack.DNA))
+    dbl = _make_plan(n, k, pack.DNA, *_plan_shape("doubling", pack.DNA))
+    assert wide.seed_chars == 64 and dbl.seed_chars == 16
+    assert len(dbl.rounds) > len(wide.rounds)
+    assert all(len(r.rank_keys) <= 2 for r in dbl.rounds)
+    # coverage doubles: 16 -> 32 -> 64 -> 128 -> 256
+    assert [r.new_cover for r in dbl.rounds] == [32, 64, 128, 256]
+
+
+@pytest.mark.parametrize("k", [8, 100, 256, -1])
+def test_prefix_doubling_repeat_heavy(k):
+    """Doubling rounds actually run (repeat-heavy text keeps tie groups
+    alive past the 16-char seed) and match the wide strategy bit for
+    bit."""
+    unit = oracle.random_dna(13, seed=21)
+    text = np.tile(unit, 2000)[:28_000].copy()
+    text[17_000:] = oracle.random_dna(28_000 - 17_000, seed=22)[: len(text) - 17_000]
+    got = Kiss2Sorter.get_suffix_array_dna(text, k)
+    want = Kiss1Sorter.get_suffix_array_dna(text, k)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_prefix_doubling_sharded():
+    """The doubling strategy threads through the distributed sort."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from kiss_tpu.parallel import make_mesh
+    from kiss_tpu.parallel.dsort import sharded_k_ordered_suffix_array
+
+    import jax.numpy as jnp
+
+    unit = oracle.random_dna(11, seed=2)
+    text = np.tile(unit, 900)[:9_000].copy()
+    got = sharded_k_ordered_suffix_array(
+        make_mesh(4), jnp.asarray(text), 64, strategy="doubling"
+    )
+    want = Kiss1Sorter.get_suffix_array_dna(text, 64)
+    np.testing.assert_array_equal(np.asarray(got).astype(np.uint32), want)
