@@ -86,6 +86,14 @@ def build_parser() -> argparse.ArgumentParser:
         "Identical output order either way (exact-k cut, position "
         "tiebreaks).",
     )
+    ss.add_argument(
+        "--external",
+        action="store_true",
+        help="use the out-of-core sorter (host-staged MSD buckets + "
+        "batch device sorts): for texts too large for the in-core "
+        "pipeline's device buffers (chm13-scale). Auto-selected above "
+        "500M characters; this flag forces it.",
+    )
     ss.add_argument("fasta", help="FASTA/text file path")
 
     fb = sub.add_parser("fmindex_build", help="build and save an FM-index")
@@ -157,13 +165,28 @@ def _reject_generic(args) -> None:
         )
 
 
+# above this many characters the in-core pipeline's device buffers
+# (~40 B/char across the seed sort) exceed a single chip; route the
+# CLI to the out-of-core sorter (kiss_tpu/ops/external_sort.py)
+EXTERNAL_THRESHOLD = 500_000_000
+
+
 def suffix_sort_main(args) -> None:
     _reject_generic(args)
     seq = _read_folded(args.fasta)
     sorter = SORTING_ALGORITHMS[args.sorting_algorithm]
     ref = sorter.prepare_aligned_ref(seq)
     sw = timing.Stopwatch()
-    sorter.get_suffix_array_dna(ref, args.kordered, args.num_threads)
+    if args.external or len(ref) >= EXTERNAL_THRESHOLD:
+        from kiss_tpu.ops.external_sort import (
+            external_k_ordered_suffix_array,
+        )
+
+        external_k_ordered_suffix_array(
+            ref, args.kordered, verbose=timing.debug_enabled()
+        )
+    else:
+        sorter.get_suffix_array_dna(ref, args.kordered, args.num_threads)
     timing.log_info(
         "n = %d, k = %d, suffix sorting elapsed %.6f",
         len(ref), args.kordered, sw.elapsed(),

@@ -31,6 +31,13 @@ def test_suffix_sort_command(fa_path, capsys):
     )
 
 
+def test_suffix_sort_external_flag(fa_path):
+    """--external routes through the out-of-core sorter (same contract,
+    host-staged; the auto path for chm13-scale inputs)."""
+    path, _ = fa_path
+    assert cli.main(["suffix_sort", "--external", "-k", "64", path]) == 0
+
+
 def test_generic_rejected(fa_path):
     path, _ = fa_path
     with pytest.raises(SystemExit):
