@@ -191,6 +191,27 @@ def bench_fmindex(text_dev, text_host):
     counts_dev()  # compile
     count_dev_s, _ = _min_of(3, counts_dev, "fmindex_query counts device")
 
+    # lookup-accelerated counts: a depth-12 seed table (fmindex_build
+    # --lookup-len 12, 64 MB) skips 12 of the 25 LF steps per pattern
+    # (reference FMIndex LOOKUP_LEN parameter, fm_index.hpp:237-269;
+    # the reference CLI hardcodes 0, so this is an opt-in lever)
+    LLEN = 12
+    fmi_l = fm.FMIndex(sa_intv=4, lookup_len=LLEN)
+    fmi_l.arrays, fmi_l.n_rows, fmi_l.full_sa = fmi.arrays, N + 1, True
+    fmi_l._build_lookup()
+    timing.sync(fmi_l.arrays.lookup)
+
+    def counts_lookup_dev():
+        c = fm.counts_packed_device(fmi_l.arrays, qwords_dev, QLEN, LLEN)
+        timing.sync(c)
+        return c
+
+    cl = counts_lookup_dev()  # compile
+    assert np.array_equal(np.asarray(cl), np.asarray(cnts))
+    count_lookup_dev_s, _ = _min_of(
+        3, counts_lookup_dev, "fmindex_query counts device(lookup12)"
+    )
+
     # ---- stats via the fast walk (full-sort index): device-only
     beg, end, _ = fm.get_range_packed_device(fmi.arrays, qwords_dev, QLEN, 0)
     total = int(jnp.sum(end - beg))
@@ -267,6 +288,7 @@ def bench_fmindex(text_dev, text_host):
         "build32_s": build32_s,
         "counts_per_s": NQ / count_s,
         "counts_device_s": count_dev_s,
+        "counts_lookup12_device_s": count_lookup_dev_s,
         "stats_s": stats_s,
         "stats_device_s": stats_dev_s,
         "stats_bfs_s": stats_bfs_s,
@@ -316,6 +338,12 @@ def main() -> None:
         m(
             "fmindex_query_1M_len25_counts_device_s",
             r["counts_device_s"],
+            "s",
+        ),
+        # opt-in --lookup-len 12 seed table (skips 12 of 25 LF steps)
+        m(
+            "fmindex_query_1M_len25_counts_lookup12_device_s",
+            r["counts_lookup12_device_s"],
             "s",
         ),
         # full reference batch-loop accumulators: count + locate +
