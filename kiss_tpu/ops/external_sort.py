@@ -28,10 +28,13 @@ host-staged external algorithm:
      compacted ACTIVE rows, contiguous per group, again in
      bucket-aligned batches. The round structure (seed width, rank-key
      offsets, coverage growth) comes from the in-core planner
-     (:func:`kiss_tpu.ops.suffix_sort._make_plan`), so bounded k,
-     unbounded (-1), and the exact-k decomposition behave identically
-     to the in-core pipeline -- verified bit-identical in
-     tests/test_external_sort.py.
+     (:func:`kiss_tpu.ops.suffix_sort._make_plan`); exact-k plans whose
+     remainder is smaller than the seed are closed with raw 4-bit tail
+     key words gathered per active row (:func:`_np_tail_words`), so
+     EVERY bounded k (the reference protocol sweeps k in 2..256,
+     reference: experiment/experiment_a.sh:10-39), unbounded (-1), and
+     the exact-k decomposition behave identically to the in-core
+     pipeline -- verified bit-identical in tests/test_external_sort.py.
 
 Only the per-batch sorts touch the device; everything resident is
 numpy on host RAM. Peak host memory is ~25 bytes/char (text + packed
@@ -354,6 +357,45 @@ def _shifted_rank(rank: np.ndarray, p: np.ndarray, off, n: int) -> np.ndarray:
     return out
 
 
+def _np_tail_words(text: np.ndarray, pA: np.ndarray, tail_chars: int,
+                   tail_offset: int) -> list[np.ndarray]:
+    """Host mirror of pack.suffix_key_words (DNA alphabet: 4 bits/char,
+    value c+1, 8 chars per uint32, big-endian, past-end -> 0) gathered
+    for the compacted active rows only.
+
+    These close an exact-k plan's raw tail (< seed chars) exactly like
+    the in-core _rank_block_sort's tail operands, so arbitrary bounded k
+    (the reference supports every k -- its comparator cuts at exact k,
+    reference: kiss1_core.hpp:94-135; its protocol sweeps k in 2..256,
+    reference: experiment/experiment_a.sh:10-39) works out-of-core too.
+    The active set is small by the tail round (post-seed tie groups), so
+    per-row host gathers are affordable here where they are not at N.
+    """
+    n = text.shape[0]
+    vals = text.view(np.uint8) if text.dtype == np.int8 else text
+    cpw = pack.DNA.chars_per_word  # 8
+    cbits = pack.DNA.char_bits  # 4
+    n_words = -(-tail_chars // cpw)
+    p64 = pA.astype(np.int64)
+    words = []
+    remaining = tail_chars
+    for w in range(n_words):
+        chars = min(remaining, cpw)
+        acc = np.zeros(pA.shape[0], dtype=np.uint32)
+        for j in range(chars):
+            idx = p64 + (tail_offset + w * cpw + j)
+            valid = idx < n
+            v = np.where(
+                valid,
+                vals[np.minimum(idx, max(n - 1, 0))].astype(np.uint32) + 1,
+                np.uint32(0),
+            )
+            acc |= v << np.uint32(cbits * (cpw - 1 - j))
+        words.append(acc)
+        remaining -= chars
+    return words
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -478,17 +520,18 @@ def external_k_ordered_suffix_array(
         log(f"round {ri}: cover={cover} active={m}")
         if m == 0:
             break
-        if rnd.tail_chars:
-            raise NotImplementedError(
-                "raw-tail rounds not supported in the external path; "
-                "choose k so the plan decomposes into rank blocks "
-                "(k multiple of the 64-char seed, or unbounded)"
-            )
         pA = sa[rows]
         keys = [
             _shifted_rank(ranks[lv], pA, off, n)
             for lv, off in rnd.rank_keys
         ]
+        if rnd.tail_chars:
+            # exact-k remainder smaller than the seed: close it with raw
+            # 4-bit key words gathered per active row (in-core
+            # counterpart: _rank_block_sort's tail operands)
+            keys.extend(
+                _np_tail_words(text, pA, rnd.tail_chars, rnd.tail_offset)
+            )
         is_last = ri == len(plan.rounds) - 1
         need_next = (not is_last) or plan.unbounded
         if need_next and cover in save_levels:

@@ -61,6 +61,47 @@ def test_tiny_and_empty():
     _check(text, -1, batch_rows=4096, bucket_chars=1)
 
 
+@pytest.mark.parametrize("k", [100, 150, 200])
+def test_arbitrary_bounded_k(k):
+    """Raw-tail rounds (k not a multiple of the 64-char seed) -- the
+    reference supports every bounded k (exact-k comparator cut,
+    kiss1_core.hpp:94-135; protocol sweep experiment_a.sh:10-39), so the
+    out-of-core path must too (VERDICT r4 #1)."""
+    unit = oracle.random_dna(11, seed=31)
+    text = np.tile(unit, 3000)[:30_000].copy()
+    text[18_000:] = oracle.random_dna(12_000, seed=32)
+    _check(text, k, batch_rows=4096)
+
+
+def test_arbitrary_k_multi_level_tail():
+    # k = 680 = 512 + 2*64 + 40: the tail round references two saved
+    # rank levels AND closes with raw tail words
+    unit = oracle.random_dna(7, seed=33)
+    text = np.tile(unit, 5000)[:32_000].copy()
+    text[24_000:] = oracle.random_dna(8_000, seed=34)
+    _check(text, 680, batch_rows=4096)
+
+
+def test_tail_words_match_device_pack():
+    import jax.numpy as jnp
+
+    from kiss_tpu.ops import pack
+
+    text = oracle.random_dna(500, seed=35)
+    pA = np.array([0, 3, 450, 470, 492, 499, 500], dtype=np.uint32)
+    for tail_chars, tail_offset in [(1, 64), (8, 64), (36, 64), (40, 640)]:
+        want_full = [
+            np.asarray(w)
+            for w in pack.suffix_key_words(
+                jnp.asarray(text), tail_chars, tail_offset, pack.DNA
+            )
+        ]
+        got = external_sort._np_tail_words(text, pA, tail_chars, tail_offset)
+        assert len(got) == len(want_full)
+        for g, w in zip(got, want_full):
+            np.testing.assert_array_equal(g, w[pA])
+
+
 def test_saved_level_snapshot():
     # k = 576 = 512 + 64 decomposes into a non-full final round that
     # references BOTH rank levels -> exercises the copy-on-save guard
