@@ -309,14 +309,8 @@ def _ranks_of_sorted(sorted_keys, sa, sort_impl=lax.sort):
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "seed_chars", "alphabet", "with_rank", "sort_impl", "force_u32"
-    ),
-)
-def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
-               sort_impl=lax.sort, force_u32: bool = False):
+def _seed_sort_impl(text, seed_chars: int, alphabet, with_rank: bool,
+                    sort_impl=lax.sort, force_u32: bool = False):
     """Sort of all n+1 suffixes by the first ``seed_chars`` characters
     (shorter-first at end of text, then ascending position -- the full
     reference comparator contract, kiss1_core.hpp:94-135). Returns
@@ -363,12 +357,16 @@ def _seed_sort(text, seed_chars: int, alphabet, with_rank: bool,
     return sa, rank, done
 
 
-@partial(
+_seed_sort = partial(
     jax.jit,
-    static_argnames=("n_keys", "with_rank", "sort_impl", "force_u32"),
-)
-def _full_round(text, rank, cover, n_keys: int, with_rank: bool,
-                sort_impl=lax.sort, force_u32: bool = False):
+    static_argnames=(
+        "seed_chars", "alphabet", "with_rank", "sort_impl", "force_u32"
+    ),
+)(_seed_sort_impl)
+
+
+def _full_round_impl(text, rank, cover, n_keys: int, with_rank: bool,
+                     sort_impl=lax.sort, force_u32: bool = False):
     """One wide stable sort by ``n_keys`` shifted copies of the current
     rank level at offsets 0, cover, 2*cover, ... -- covering
     n_keys*cover characters. ``cover`` is a TRACED scalar, so one
@@ -396,6 +394,12 @@ def _full_round(text, rank, cover, n_keys: int, with_rank: bool,
         _mask_field(list(ops), places[-1]), sa, sort_impl
     )
     return sa, rank2, done
+
+
+_full_round = partial(
+    jax.jit,
+    static_argnames=("n_keys", "with_rank", "sort_impl", "force_u32"),
+)(_full_round_impl)
 
 
 @partial(jax.jit, static_argnames=("sort_impl",))
@@ -490,15 +494,10 @@ def _tail_refine(sa, rank, rows, cover):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("rank_key_spec", "tail_chars", "tail_offset",
-                     "alphabet", "with_rank", "level_ids", "sort_impl",
-                     "force_u32"),
-)
-def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
-                     tail_chars, tail_offset, alphabet, with_rank: bool,
-                     sort_impl=lax.sort, force_u32: bool = False):
+def _rank_block_sort_impl(text, rank_arrays, level_ids, rank_key_spec,
+                          tail_chars, tail_offset, alphabet,
+                          with_rank: bool, sort_impl=lax.sort,
+                          force_u32: bool = False):
     """One wide stable sort by shifted rank-level keys (+ optional raw
     tail words). ``rank_arrays`` is a tuple aligned with ``level_ids``;
     ``rank_key_spec`` is ((level, offset), ...)."""
@@ -529,6 +528,14 @@ def _rank_block_sort(text, rank_arrays, level_ids, rank_key_spec,
     return sa, rank, done
 
 
+_rank_block_sort = partial(
+    jax.jit,
+    static_argnames=("rank_key_spec", "tail_chars", "tail_offset",
+                     "alphabet", "with_rank", "level_ids", "sort_impl",
+                     "force_u32"),
+)(_rank_block_sort_impl)
+
+
 def _next_capacity(m: int, cap: int) -> int:
     c = 1024
     while c < m:
@@ -552,24 +559,41 @@ def _is_full(rnd: _Round, cover: int) -> bool:
 
 
 def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
-              sort_impl=lax.sort, force_u32: bool = False):
+              sort_impl=lax.sort, force_u32: bool = False,
+              collect_flag: bool = False):
     """Shared driver for the host path (early exits via host sync) and
-    the fully-jitted path (early exits via lax.cond)."""
+    the fully-jitted path (early exits via lax.cond).
+
+    ``collect_flag`` (requires ``jittable``): run the NON-jitted core
+    implementations so every ``sort_impl`` call traces at this driver's
+    own trace level, accumulate the impl's overflow flag (reset/take
+    INSIDE each ``lax.cond`` branch so no tracer crosses a trace
+    boundary), and return ``(sa, flag)``. This is how the sample-sort
+    facade surfaces its poison-on-overflow contract at the API boundary
+    instead of handing callers a poisoned permutation (VERDICT r4)."""
     nrounds = len(plan.rounds)
     pdt = _pos_dtype(text.shape[0], force_u32)
+    if collect_flag:
+        assert jittable and hasattr(sort_impl, "take_flag")
+    seed_fn = _seed_sort_impl if collect_flag else _seed_sort
+    full_fn = _full_round_impl if collect_flag else _full_round
+    block_fn = _rank_block_sort_impl if collect_flag else _rank_block_sort
     # per-phase stopwatch logs under --verbose (reference model:
     # kiss1_core.hpp:244-267 / README.md:94-101 stage table); host path
     # only -- inside jit there is no host timer to read
     dbg = (not jittable) and timing.debug_enabled()
+    if collect_flag:
+        sort_impl.reset_flag()
     sa, rank, done = timing.staged(
         f"seed_sort(chars={plan.seed_chars})" if dbg else None,
-        lambda: _seed_sort(
+        lambda: seed_fn(
             text, plan.seed_chars, alphabet, nrounds > 0, sort_impl,
             force_u32,
         ),
     )
+    flag = sort_impl.take_flag() if collect_flag else None
     if nrounds == 0:
-        return sa
+        return (sa, flag) if collect_flag else sa
 
     # keep only the rank levels the (static) final round will reference
     save_levels = set()
@@ -621,7 +645,7 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
                 text, ranks[cover], jnp.asarray(cover, pdt),
                 len(rnd.rank_keys), need_rank, sort_impl, force_u32,
             )
-            run = lambda args=args: _full_round(*args)  # noqa: E731
+            run = lambda args=args: full_fn(*args)  # noqa: E731
         else:
             level_ids = tuple(
                 sorted(lv for lv in ranks if lv in save_levels or lv == cover)
@@ -632,8 +656,24 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
                 rnd.tail_chars, rnd.tail_offset, alphabet, need_rank,
                 sort_impl, force_u32,
             )
-            run = lambda args=args: _rank_block_sort(*args)  # noqa: E731
-        if jittable:
+            run = lambda args=args: block_fn(*args)  # noqa: E731
+        if collect_flag:
+            # reset/take inside the branch: the accumulated tracer is
+            # RETURNED from the cond instead of leaking via the closure
+            def run_f(run=run):
+                sort_impl.reset_flag()
+                sa2, rank2, done2 = run()
+                return sa2, rank2, done2, sort_impl.take_flag()
+
+            sa, rank, done, f = lax.cond(
+                done,
+                lambda sa=sa, rank=rank, done=done: (
+                    sa, rank, done, jnp.asarray(False)
+                ),
+                run_f,
+            )
+            flag = jnp.logical_or(flag, f)
+        elif jittable:
             # skip the round entirely when already fully resolved
             sa, rank, done = lax.cond(
                 done,
@@ -651,7 +691,7 @@ def _run_plan(text, plan: _SortPlan, alphabet, *, jittable: bool,
                 ranks.pop(cover, None)
             ranks[rnd.new_cover] = rank
         cover = rnd.new_cover
-    return sa
+    return (sa, flag) if collect_flag else sa
 
 
 def _plan_shape(strategy: str, alphabet: pack.Alphabet):

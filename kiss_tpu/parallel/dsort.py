@@ -156,6 +156,14 @@ def _block_columnsort(*ops, axis: str, n_devices: int):
 _IMPL_CACHE: dict = {}
 
 
+class SampleSortOverflow(RuntimeError):
+    """A sample-sort pipeline overflowed its bucket capacity or drift
+    bound and poisoned its output (see kiss_tpu/parallel/ssort.py
+    overflow contract). The result was discarded, never returned.
+    Re-run with ``algorithm="columnsort"`` (deterministic, no sampling
+    assumptions) or raise the slack."""
+
+
 def _block_multiple(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -171,7 +179,13 @@ def make_sharded_sort_impl(mesh: Mesh, axis: str, algorithm: str = "auto"):
     padded exchange + merge, ~1.8x less local sort work than
     columnsort -- see :mod:`kiss_tpu.parallel.ssort` incl. its
     poison-on-overflow contract); opt-in until validated on real
-    multi-chip hardware.
+    multi-chip hardware. The sample impl exposes ``reset_flag()`` /
+    ``take_flag()``: the accumulated overflow flag of every sort since
+    the last reset (a traced value when called under jit), so pipeline
+    entry points can return it and raise :class:`SampleSortOverflow`
+    on the host instead of handing callers poisoned output. Sample
+    also asserts global N < 2**31 at entry (its row accounting is
+    int32; columnsort has no such limit).
 
     Caller contract (satisfied by every sort in the rank-block sorter):
     the operand tuple, taken in full as a lexicographic key, is a total
@@ -191,10 +205,13 @@ def make_sharded_sort_impl(mesh: Mesh, axis: str, algorithm: str = "auto"):
             "block-bitonic needs a power-of-2 mesh; use columnsort"
         )
 
+    flag_state = {"flag": False}
+
     def sharded_sort(operands, num_keys=None, is_stable=True):
         del num_keys, is_stable
         operands = tuple(operands)
         n = operands[0].shape[0]
+        with_flag = False
         if algo == "columnsort":
             # B must be even, divisible by D, and >= 2*(D-1)^2
             B = _block_multiple(-(-n // n_devices), 2 * n_devices)
@@ -203,12 +220,19 @@ def make_sharded_sort_impl(mesh: Mesh, axis: str, algorithm: str = "auto"):
             n_pad = B * n_devices
             body = _block_columnsort
         elif algo == "sample":
-            from kiss_tpu.parallel.ssort import block_sample_sort
+            from kiss_tpu.parallel import ssort
 
             # B % 2D == 0: the decorrelating deal reshapes by D
             B = _block_multiple(-(-n // n_devices), 2 * n_devices)
             n_pad = B * n_devices
-            body = block_sample_sort
+            if n_pad >= 2**31:
+                raise ValueError(
+                    f"sample sort row accounting is int32: global "
+                    f"N = {n_pad} (padded) must be < 2**31; use "
+                    f'algorithm="columnsort" at this scale'
+                )
+            body = ssort.block_sample_sort_flag
+            with_flag = True
         else:
             n_pad = _block_multiple(n, n_devices)
             body = _block_bitonic
@@ -220,17 +244,36 @@ def make_sharded_sort_impl(mesh: Mesh, axis: str, algorithm: str = "auto"):
                 padded.append(jnp.concatenate([x, fill]))
             operands = tuple(padded)
 
+        out_specs = tuple(P(axis) for _ in operands)
+        if with_flag:
+            out_specs = out_specs + (P(axis),)
         shardmapped = jax.shard_map(
             partial(body, axis=axis, n_devices=n_devices),
             mesh=mesh,
             in_specs=tuple(P(axis) for _ in operands),
-            out_specs=tuple(P(axis) for _ in operands),
+            out_specs=out_specs,
         )
         out = shardmapped(*operands)
+        if with_flag:
+            *out, flagv = out
+            flag_state["flag"] = jnp.logical_or(
+                flag_state["flag"], jnp.any(flagv != 0)
+            )
+            out = tuple(out)
         if n_pad != n:
             out = tuple(x[:n] for x in out)
         return out
 
+    def reset_flag():
+        flag_state["flag"] = False
+
+    def take_flag():
+        f = flag_state["flag"]
+        return jnp.asarray(f, bool)
+
+    if algo == "sample":
+        sharded_sort.reset_flag = reset_flag
+        sharded_sort.take_flag = take_flag
     _IMPL_CACHE[(mesh, axis, algorithm)] = sharded_sort
     return sharded_sort
 
@@ -243,6 +286,10 @@ def sharded_k_ordered_suffix_array(mesh: Mesh, text, k, axis: str = "seq",
     network (columnsort by default, see :func:`make_sharded_sort_impl`).
 
     Bit-identical to the single-device sorter (tests/test_sharded.py).
+    With ``algorithm="sample"`` the pipeline's accumulated overflow
+    flag is synced on the host and :class:`SampleSortOverflow` is
+    raised when any sort poisoned -- an all-max permutation is never
+    returned (VERDICT r4 weak-#2).
     """
     from kiss_tpu.ops import pack, suffix_sort
 
@@ -252,6 +299,7 @@ def sharded_k_ordered_suffix_array(mesh: Mesh, text, k, axis: str = "seq",
         text.shape[0], suffix_sort._normalize_k(k), pack.DNA,
         seed_chars, max_keys,
     )
+    with_flag = hasattr(sort_impl, "take_flag")
 
     key = (mesh, axis, algorithm, plan)
     run = _IMPL_CACHE.get(key)
@@ -260,9 +308,16 @@ def sharded_k_ordered_suffix_array(mesh: Mesh, text, k, axis: str = "seq",
         # by the mesh; the block-bitonic sort pads and shards internally
         run = jax.jit(
             lambda t: suffix_sort._run_plan(
-                t, plan, pack.DNA, jittable=True, sort_impl=sort_impl
+                t, plan, pack.DNA, jittable=True, sort_impl=sort_impl,
+                collect_flag=with_flag,
             )
         )
         _IMPL_CACHE[key] = run
 
-    return run(text)
+    out = run(text)
+    if with_flag:
+        sa, flag = out
+        if bool(flag):
+            raise SampleSortOverflow(SampleSortOverflow.__doc__)
+        return sa
+    return out

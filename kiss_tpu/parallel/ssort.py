@@ -46,12 +46,16 @@ or the drift can exceed S. Collectives inside `lax.cond` are not
 portable, so instead of a conditional fallback every output row is
 POISONED to 0xFFFFFFFF when any device overflows -- never silently
 wrong. The flag is deterministic and identical on all devices (it is
-computed from the replicated count matrix). Callers choose this
-algorithm explicitly (``algorithm="sample"``); the default columnsort
-needs no sampling assumptions. Oversampling (64 per device) makes
-overflow vanishingly unlikely at slack 1.5 on real key distributions;
-tests drive both the clean path (bit-identical to ``lax.sort``) and
-the poison path (adversarial constant keys).
+computed from the replicated count matrix), and is RETURNED as an
+explicit extra output (:func:`block_sample_sort_flag`) so the facade
+can accumulate it across a pipeline's sorts and raise
+``SampleSortOverflow`` at the API boundary instead of handing callers
+a poisoned permutation. Callers choose this algorithm explicitly
+(``algorithm="sample"``); the default columnsort needs no sampling
+assumptions. Oversampling (64 per device) makes overflow vanishingly
+unlikely at slack 1.5 on real key distributions; tests drive both the
+clean path (bit-identical to ``lax.sort``) and the poison path
+(adversarial constant keys).
 
 Re-expresses SURVEY.md P2 (the histogram -> bucket-cursor -> scatter
 radix partition idiom, reference: kiss1_core.hpp:41-83) as its
@@ -100,13 +104,31 @@ def block_sample_sort(*ops, axis: str, n_devices: int, slack: float = SLACK,
     int32; jointly a total order). Returns the sorted blocks; every
     row is the dtype max in every operand if any device overflowed
     (see module docstring). Row counts use int32 internally: the
-    sample path currently supports global N < 2^31 (columnsort, the
-    default, has no such limit)."""
+    sample path supports global N < 2^31 (columnsort, the default, has
+    no such limit; the facade asserts the bound at entry)."""
+    out = block_sample_sort_flag(
+        *ops, axis=axis, n_devices=n_devices, slack=slack,
+        oversample=oversample,
+    )
+    return out[:-1]
+
+
+def block_sample_sort_flag(*ops, axis: str, n_devices: int,
+                           slack: float = SLACK,
+                           oversample: int = OVERSAMPLE):
+    """:func:`block_sample_sort` plus an explicit overflow flag as the
+    last output: int32[1] per device (nonzero = this sort poisoned its
+    output). The facade (:func:`kiss_tpu.parallel.dsort.
+    make_sharded_sort_impl`) accumulates it across every sort of a
+    pipeline and raises at the API boundary -- closing the
+    silent-poison gap (ADVICE r4: consumers proceeded on poisoned
+    output with no error)."""
     D = n_devices
     W = len(ops)
     B = ops[0].shape[0]
     if D == 1:
-        return lax.sort(tuple(ops), num_keys=W, is_stable=False)
+        out = lax.sort(tuple(ops), num_keys=W, is_stable=False)
+        return tuple(out) + (jnp.zeros(1, jnp.int32),)
     # step 0: decorrelating deal (see module docstring); B % D == 0 is
     # the facade's padding contract
     dealt = []
@@ -218,4 +240,4 @@ def block_sample_sort(*ops, axis: str, n_devices: int, slack: float = SLACK,
         tail_out = jnp.where(nh_valid, nh_shift, out[B - S :])
         out = jnp.concatenate([out[: B - S], tail_out])
         outs.append(jnp.where(flag, _mx(x), out))
-    return tuple(outs)
+    return tuple(outs) + (flag.astype(jnp.int32)[None],)

@@ -111,6 +111,66 @@ def test_sorted_input_now_balanced():
 
 
 @needs8
+def test_overflow_flag_surfaces_eagerly():
+    """The impl exposes the accumulated overflow flag (VERDICT r4: the
+    poison must be loud at the API boundary, not just deterministic)."""
+    mesh = make_mesh(8)
+    impl = make_sharded_sort_impl(mesh, "seq", algorithm="sample")
+    impl.reset_flag()
+    n = 8192
+    i = np.arange(n, dtype=np.uint32)
+    impl((jnp.asarray(i % 8), jnp.asarray(i)), num_keys=2)
+    assert bool(impl.take_flag())
+    impl.reset_flag()
+    impl((jnp.asarray(i), jnp.asarray(i)), num_keys=2)  # benign
+    assert not bool(impl.take_flag())
+
+
+@needs8
+def test_pipeline_overflow_raises(monkeypatch):
+    """A poisoned sort anywhere in the pipeline must raise at the
+    facade -- an all-max 'SA' is never returned (ADVICE r4 medium)."""
+    from kiss_tpu.parallel import ssort
+    from kiss_tpu.parallel.dsort import (
+        SampleSortOverflow, sharded_k_ordered_suffix_array,
+    )
+    from tests import oracle
+
+    real = ssort.block_sample_sort_flag
+
+    def always_overflow(*ops, axis, n_devices, **kw):
+        outs = real(*ops, axis=axis, n_devices=n_devices, **kw)
+        poisoned = tuple(
+            jnp.full_like(x, 0xFFFFFFFF)
+            if x.dtype == jnp.uint32
+            else jnp.full_like(x, 2**31 - 1)
+            for x in outs[:-1]
+        )
+        return poisoned + (jnp.ones(1, jnp.int32),)
+
+    monkeypatch.setattr(ssort, "block_sample_sort_flag", always_overflow)
+    text = oracle.random_dna(5_000, seed=11)
+    mesh = make_mesh(8)
+    with pytest.raises(SampleSortOverflow):
+        # k=192: unique plan so no cached compiled program is reused
+        sharded_k_ordered_suffix_array(
+            mesh, jnp.asarray(text), 192, algorithm="sample"
+        )
+
+
+@needs8
+def test_sample_sort_int32_row_guard():
+    """Global N >= 2**31 must be rejected at entry (sample-sort row
+    accounting is int32; VERDICT r4 weak-#3). eval_shape: no 8 GB
+    allocation needed."""
+    mesh = make_mesh(8)
+    impl = make_sharded_sort_impl(mesh, "seq", algorithm="sample")
+    big = jax.ShapeDtypeStruct((2**31 + 8,), jnp.uint32)
+    with pytest.raises(ValueError, match="int32"):
+        jax.eval_shape(lambda o: impl((o,), num_keys=1), big)
+
+
+@needs8
 def test_sharded_pipeline_with_sample_sort():
     """Full k-ordered suffix sort over the mesh with every global sort
     routed through the sample sort: bit-identical to the single-device
