@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -718,17 +719,39 @@ def batch_bfs_stats_device(
 # provenance in a JSON sidecar next to the archive; reference-written
 # archives have no sidecar and keep the conservative BFS routing.
 META_SUFFIX = ".meta"
+_META_PROBE = 1 << 16  # head/tail bytes hashed into the binding checksum
+
+
+def _archive_fingerprint(fmi_path: str) -> tuple[int, int]:
+    """(size, crc32 of the first+last 64 KiB) of the archive: cheap
+    content binding for the sidecar (ADVICE r4: a sidecar must not
+    survive the archive being rebuilt by another writer -- e.g. the
+    reference binary's 32-ordered build -- or the stale full_sa flag
+    would route locate through the walk and return wrong positions)."""
+    import zlib
+
+    size = os.path.getsize(fmi_path)
+    with open(fmi_path, "rb") as f:
+        crc = zlib.crc32(f.read(_META_PROBE))
+        if size > _META_PROBE:
+            f.seek(max(size - _META_PROBE, 0))
+            crc = zlib.crc32(f.read(_META_PROBE), crc)
+    return size, crc
 
 
 def write_meta(fmi_path: str, *, full_sa: bool, sort_len,
                lookup_len: int) -> None:
-    """Record build provenance for ``fmi_path`` in ``<path>.meta``."""
+    """Record build provenance for ``fmi_path`` in ``<path>.meta``,
+    bound to the archive's content fingerprint."""
+    size, crc = _archive_fingerprint(fmi_path)
     meta = {
-        "format": 1,
+        "format": 2,
         "writer": "kiss-tpu",
         "full_sa": bool(full_sa),
         "sort_len": sort_len,
         "lookup_len": int(lookup_len),
+        "fmi_size": size,
+        "fmi_crc32": crc,
     }
     with open(fmi_path + META_SUFFIX, "w") as f:
         json.dump(meta, f)
@@ -736,14 +759,25 @@ def write_meta(fmi_path: str, *, full_sa: bool, sort_len,
 
 
 def read_meta(fmi_path: str) -> dict | None:
-    """Provenance for ``fmi_path``, or None (absent/unreadable sidecar --
-    e.g. an archive written by the reference binary)."""
+    """Provenance for ``fmi_path``, or None when the sidecar is absent,
+    unreadable, or no longer matches the archive's content (the archive
+    was rebuilt by a writer that did not refresh the sidecar -- treat it
+    as provenance-unknown, exactly like a reference-written archive)."""
     try:
         with open(fmi_path + META_SUFFIX) as f:
             meta = json.load(f)
     except (OSError, ValueError):
         return None
-    return meta if isinstance(meta, dict) else None
+    if not isinstance(meta, dict):
+        return None
+    if "fmi_size" in meta:
+        try:
+            size, crc = _archive_fingerprint(fmi_path)
+        except OSError:
+            return None
+        if meta.get("fmi_size") != size or meta.get("fmi_crc32") != crc:
+            return None
+    return meta
 
 
 # ---------------------------------------------------------------------------

