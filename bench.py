@@ -118,10 +118,39 @@ def bench_suffix_sort(text_dev) -> float:
     return best
 
 
+def bench_suffix_sort_unbounded(text_dev):
+    """k = -1 (full suffix sort) for BOTH strategies -- kISS-2's entire
+    reason to exist is unbounded-k stability (reference:
+    experiment/README.md:20-27, README.md:56), and until round 5 neither
+    unbounded path had been timed on real hardware at bench scale
+    (VERDICT r4 #5). Host-driven pipeline (tail refinement needs host
+    syncs), 3 repeats after a warm run, best-of reported."""
+    from kiss_tpu.ops.suffix_sort import k_ordered_suffix_array
+    from kiss_tpu.utils import timing
+
+    out = {}
+    for strategy, label in (
+        ("wide", "PARALLEL_SORTING"),
+        ("doubling", "PREFIX_DOUBLING"),
+    ):
+        def run(strategy=strategy):
+            sa = k_ordered_suffix_array(
+                text_dev, -1, as_numpy=False, strategy=strategy
+            )
+            timing.sync(sa)
+            return sa
+
+        sa = run()  # compile + warm every tail-capacity bucket
+        assert int(sa[0]) == N
+        best, _ = _min_of(3, run, f"suffix_sort k=-1 {label}")
+        out[strategy] = best
+    return out
+
+
 def _min_of(k, fn, label):
     """Run fn() k times after the caller's warmup; return (best, last
-    result). Tunnel-bound paths vary run to run, so every reported
-    number is a min over repeats (ADVICE r3)."""
+    result). Device-side paths are stable, so min over repeats is the
+    honest machine number (ADVICE r3)."""
     times, out = [], None
     for _ in range(k):
         t0 = time.perf_counter()
@@ -129,6 +158,26 @@ def _min_of(k, fn, label):
         times.append(time.perf_counter() - t0)
     print(f"# {label} times={[round(t, 4) for t in times]}", file=sys.stderr)
     return min(times), out
+
+
+def _median_of(k, fn, label):
+    """Median over k warm repeats, for END-TO-END metrics: the tunnel
+    makes host<->device legs vary up to 3x run to run, and best-of-N
+    systematically understates what a user sees (VERDICT r4 #7). The
+    caller warms first, so every rep is warm; the full rep list is
+    printed for spread inspection."""
+    times, out = [], None
+    for _ in range(k):
+        t0 = time.perf_counter()
+        out = fn()
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    print(
+        f"# {label} median={med:.4f}s times={[round(t, 4) for t in times]}"
+        f" (warm)",
+        file=sys.stderr,
+    )
+    return med, out
 
 
 def bench_fmindex(text_dev, text_host):
@@ -177,8 +226,8 @@ def bench_fmindex(text_dev, text_host):
 
     # ---- counts: end-to-end (pack+ship+search+pull), then device-only
     fmi.counts(pats)  # compile + warm
-    count_s, cnts = _min_of(2, lambda: fmi.counts(pats),
-                            "fmindex_query counts e2e")
+    count_s, cnts = _median_of(5, lambda: fmi.counts(pats),
+                               "fmindex_query counts e2e")
     assert int(cnts.sum()) > 0
     qwords_dev = jax.device_put(jnp.asarray(np_pack_queries_2bit(pats)))
     timing.sync(qwords_dev)
@@ -237,8 +286,8 @@ def bench_fmindex(text_dev, text_host):
 
     # ---- stats end-to-end (host patterns in, two scalars out)
     fmi.batch_query_stats(pats)  # warm every capacity bucket
-    stats_s, (occ_e, chk_e) = _min_of(
-        3, lambda: fmi.batch_query_stats(pats), "fmindex_query stats e2e"
+    stats_s, (occ_e, chk_e) = _median_of(
+        5, lambda: fmi.batch_query_stats(pats), "fmindex_query stats e2e"
     )
     assert (occ_e, chk_e) == (occ, checksum)
 
@@ -260,8 +309,8 @@ def bench_fmindex(text_dev, text_host):
     )
     assert (occ_b, chk_b) == (occ, checksum), (occ_b, chk_b, occ, checksum)
     fmi32.batch_query_stats(pats)
-    stats_bfs_s, (occ_b2, chk_b2) = _min_of(
-        2, lambda: fmi32.batch_query_stats(pats),
+    stats_bfs_s, (occ_b2, chk_b2) = _median_of(
+        5, lambda: fmi32.batch_query_stats(pats),
         "fmindex_query stats e2e(bfs)",
     )
     assert (occ_b2, chk_b2) == (occ, checksum)
@@ -273,8 +322,8 @@ def bench_fmindex(text_dev, text_host):
     fmil = fm.FMIndex(sa_intv=4).load(buf)
     fmil.full_sa = True  # what the `.meta` sidecar records for this build
     fmil.batch_query_stats(pats)  # warm
-    stats_loaded_s, (occ_l, chk_l) = _min_of(
-        2, lambda: fmil.batch_query_stats(pats),
+    stats_loaded_s, (occ_l, chk_l) = _median_of(
+        5, lambda: fmil.batch_query_stats(pats),
         "fmindex_query stats e2e(loaded archive)",
     )
     assert (occ_l, chk_l) == (occ, checksum)
@@ -313,6 +362,7 @@ def main() -> None:
 
     best = bench_suffix_sort(text_dev)
     mbps = N / 1e6 / best
+    unb = bench_suffix_sort_unbounded(text_dev)
     r = bench_fmindex(text_dev, text_host)
 
     def m(name, value, unit, **kw):
@@ -325,6 +375,18 @@ def main() -> None:
         }
 
     extra = [
+        # unbounded (k = -1, full SA) throughput, both strategies --
+        # the reference kISS-2 headline regime (experiment/README.md:
+        # 20-27); no absolute reference number exists for this corpus
+        m(
+            "suffix_sort_k-1_parallel_sorting_Mbp_s",
+            N / 1e6 / unb["wide"], "Mbp/s", seconds=round(unb["wide"], 3),
+        ),
+        m(
+            "suffix_sort_k-1_prefix_doubling_Mbp_s",
+            N / 1e6 / unb["doubling"], "Mbp/s",
+            seconds=round(unb["doubling"], 3),
+        ),
         m("fmindex_build_seconds_drosophila", r["build_s"], "s"),
         # reference-parity sort depth (fm_index.hpp:384-386 hardcodes 32)
         m("fmindex_build_k32_seconds_drosophila", r["build32_s"], "s"),
@@ -334,6 +396,7 @@ def main() -> None:
             "patterns/s",
             occ=int(r["occ"]),
             checksum=int(r["checksum"]),
+            timing="median-of-5-warm",
         ),
         m(
             "fmindex_query_1M_len25_counts_device_s",
@@ -350,10 +413,12 @@ def main() -> None:
         # Sum(positions) checksum for 1M patterns
         # (fmindex_query.hpp:87-94); *_device_s excludes the host<->device
         # tunnel (~5-8 MB/s here), the e2e variants include it
-        m("fmindex_query_1M_len25_stats_seconds", r["stats_s"], "s"),
+        m("fmindex_query_1M_len25_stats_seconds", r["stats_s"], "s",
+          timing="median-of-5-warm"),
         m("fmindex_query_1M_len25_stats_device_s", r["stats_device_s"], "s"),
         # the locate path of k-ordered (e.g. reference-written) archives
-        m("fmindex_query_1M_len25_stats_bfs_seconds", r["stats_bfs_s"], "s"),
+        m("fmindex_query_1M_len25_stats_bfs_seconds", r["stats_bfs_s"], "s",
+          timing="median-of-5-warm"),
         m(
             "fmindex_query_1M_len25_stats_bfs_device_s",
             r["stats_bfs_device_s"],
@@ -364,6 +429,7 @@ def main() -> None:
             "fmindex_query_1M_len25_stats_loaded_seconds",
             r["stats_loaded_s"],
             "s",
+            timing="median-of-5-warm",
         ),
     ]
     print(

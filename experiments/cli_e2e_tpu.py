@@ -3,11 +3,16 @@
 Drives the actual ``python -m kiss_tpu`` CLI as subprocesses on the
 real TPU against a 100 kbp corpus with planted patterns, and checks:
 
-  - suffix_sort (default strategy, PREFIX_DOUBLING, and --external);
+  - suffix_sort (default strategy, PREFIX_DOUBLING, and --external,
+    incl. an arbitrary bounded k = 100 through the external raw-tail
+    path, VERDICT r4 #1);
   - fmindex_build writes `.fmi` + `.meta` sidecar;
   - single query reports every planted position exactly;
   - batch query occ/checksum equal the brute-force oracle;
-  - absent pattern, --generic rejection, bad -k probes.
+  - absent pattern, --generic rejection, bad -k probes;
+  - serve mode: one process answers repeated queries, with the
+    second query under the 15 s target (VERDICT r4 #8 -- the
+    per-invocation jit compile mitigation).
 
 Appends a PASS/FAIL table to experiments/results_cli_e2e.md. Run from
 the repo root: ``python experiments/cli_e2e_tpu.py`` (~5-15 min: each CLI
@@ -91,6 +96,12 @@ def main() -> int:
     rc, out = run("suffix_sort --external",
                   ["suffix_sort", "--external", "-k", "256", fa])
     ok &= check("external", rc == 0, out[-300:])
+    # arbitrary bounded k (not a multiple of the 64-char seed): the
+    # external raw-tail round path (VERDICT r4 #1) on the real chip
+    rc, out = run("suffix_sort --external -k 100",
+                  ["suffix_sort", "--external", "-k", "100", fa])
+    ok &= check("external k=100", rc == 0
+                and "suffix sorting elapsed" in out, out[-300:])
 
     rc, out = run("fmindex_build", ["fmindex_build", fa])
     ok &= check(
@@ -126,6 +137,53 @@ def main() -> int:
                 rc != 0 and "not supported" in out, out[-200:])
     rc, out = run("bad -k", ["suffix_sort", "-k", "zzz", fa])
     ok &= check("bad -k", rc != 0 and "invalid int" in out, out[-200:])
+
+    # ---- serve mode: compile once, answer many (VERDICT r4 #8) ----
+    import select
+
+    def _readline_timeout(stream, timeout_s):
+        r, _, _ = select.select([stream], [], [], timeout_s)
+        return stream.readline() if r else ""
+
+    t0 = time.perf_counter()
+    errf = open(os.path.join(tmp, "serve.err"), "w")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sp = subprocess.Popen(
+        [sys.executable, "-m", "kiss_tpu", "serve", "--warm", "14",
+         "-n", "3", fa],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=errf,
+        text=True, cwd=repo,
+    )
+    ROWS.append(("serve startup+warm", "ran", 0.0))
+    try:
+        ready = _readline_timeout(sp.stdout, 1200)
+        t_ready = time.perf_counter() - t0
+        ROWS[-1] = (ROWS[-1][0], ROWS[-1][1], t_ready)
+        ok &= check("serve ready", ready.strip() == "ready", repr(ready))
+        times = []
+        for i in range(2):
+            sp.stdin.write("GATTACAGATTACA\n")
+            sp.stdin.flush()
+            line = _readline_timeout(sp.stdout, 600)
+            if not line.startswith("ok "):
+                times.append(float("inf"))
+                break
+            times.append(float(line.split()[1]))
+        sp.stdin.write("quit\n")
+        sp.stdin.flush()
+        sp.wait(timeout=120)
+        ROWS.append(("serve 2nd query", "ran",
+                     times[1] if len(times) > 1 else float("inf")))
+        # the VERDICT r4 #8 target: repeated queries under ~15 s
+        ok &= check(
+            "serve 2nd query < 15 s",
+            len(times) == 2 and times[1] < 15.0,
+            f"times={times}",
+        )
+    finally:
+        if sp.poll() is None:
+            sp.kill()
+        errf.close()
 
     dev = "unknown"
     try:

@@ -49,7 +49,9 @@ def device_peak_bytes():
             return peak
     except Exception:
         pass
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    # ru_maxrss: kilobytes on Linux, bytes on macOS (ADVICE r4)
+    scale = 1 if sys.platform == "darwin" else 1024
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * scale
 
 
 def main():
@@ -62,6 +64,11 @@ def main():
         help="comma-separated k values (-1 = unbounded)",
     )
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--strategy", default="wide", choices=["wide", "doubling"],
+        help="sort strategy for the k sweep: wide = PARALLEL_SORTING, "
+        "doubling = PREFIX_DOUBLING (the algo column records it)",
+    )
     ap.add_argument(
         "--devices", default="",
         help="comma-separated device counts: sweep the mesh size at "
@@ -110,16 +117,25 @@ def main():
                 )
                 print(",".join(str(x) for x in rows[-1]), flush=True)
         args.ks = ""
+    algo = (
+        "kiss-tpu"
+        if args.strategy == "wide"
+        else "kiss-tpu-doubling"
+    )
     for k in (int(x) for x in args.ks.split(",") if x):
         # warm (compile all round variants for this k)
-        timing.sync(k_ordered_suffix_array(text, k, as_numpy=False))
+        timing.sync(k_ordered_suffix_array(
+            text, k, as_numpy=False, strategy=args.strategy
+        ))
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            sa = k_ordered_suffix_array(text, k, as_numpy=False)
+            sa = k_ordered_suffix_array(
+                text, k, as_numpy=False, strategy=args.strategy
+            )
             timing.sync(sa)
             dt = time.perf_counter() - t0
             rows.append(
-                ["kiss-tpu", test_name, k, n_devices, f"{dt:.4f}",
+                [algo, test_name, k, n_devices, f"{dt:.4f}",
                  device_peak_bytes()]
             )
             print(",".join(str(x) for x in rows[-1]), flush=True)
