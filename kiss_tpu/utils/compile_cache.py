@@ -3,14 +3,22 @@
 Compiling the sort pipelines on the tunneled TPU takes ~30-60 s per
 program; a persistent cache would make every process after the first
 start hot. However, on the tunneled TPU backend a process that READS a
-cache entry written by an earlier process can deadlock at its first
-device operation (measured: cold-cache runs complete, warm-cache runs
-of the identical program hang forever in executable deserialization;
-the hang also swallows plain transfers). Until that backend path is
-trustworthy the cache is DISABLED unless KISS_TPU_CACHE_ENABLE=1 is
-set; KISS_TPU_CACHE=<dir> still redirects the directory. If a run
-hangs with the cache on, clear ~/.cache/kiss_tpu_xla and unset the
-enable flag.
+cache entry written by an earlier process was observed to deadlock at
+its first device operation (round 3: cold-cache runs complete,
+warm-cache runs of the identical program hang forever in executable
+deserialization; the hang also swallows plain transfers).
+
+Round-5 re-test (experiments/results_cache_retest.md): the hang did
+NOT reproduce across 5 consecutive cache-enabled processes, toy and
+real CLI programs alike -- but warm-cache CLI invocations still cost
+14-206 s wall at ~3 s CPU, because the per-process TUNNEL WARMUP
+(~60-200 s first device round-trip) dominates and no compile cache
+removes it. So the cache stays DISABLED unless KISS_TPU_CACHE_ENABLE=1
+(historical hang + marginal benefit), and the supported low-latency
+path is the long-lived ``kISS serve`` command (second query measured
+sub-0.1 s). KISS_TPU_CACHE=<dir> still redirects the directory; if a
+run ever hangs with the cache on, clear ~/.cache/kiss_tpu_xla and
+unset the enable flag.
 """
 
 from __future__ import annotations
