@@ -348,6 +348,22 @@ def test_cli_num_threads_sharded_build_and_query(tmp_path, caplog):
     assert cli.main(["fmindex_query", "-q", q, "-n", "3", "-t", "8", p8]) == 0
 
 
+def test_cli_num_threads_sharded_build_with_lookup(tmp_path):
+    """-t 8 build with --lookup-len: the batched lookup construction
+    runs against mesh-sharded tables (GSPMD gathers) and must still
+    produce a byte-identical archive."""
+    text = oracle.random_dna(6_000, seed=45)
+    p1 = str(tmp_path / "l1.fa")
+    p8 = str(tmp_path / "l8.fa")
+    fasta.write_fasta(p1, [fasta.FastaRecord("chr1", text)])
+    fasta.write_fasta(p8, [fasta.FastaRecord("chr1", text)])
+    assert cli.main(["fmindex_build", "--lookup-len", "4", p1]) == 0
+    assert cli.main(
+        ["fmindex_build", "--lookup-len", "4", "-t", "8", p8]
+    ) == 0
+    assert open(p1 + ".fmi", "rb").read() == open(p8 + ".fmi", "rb").read()
+
+
 def test_cli_num_threads_sharded_query_bounded_archive(tmp_path, caplog):
     """-t 8 query against a bounded -k build: the order-robust BFS
     locate path still yields identical stats to -t 1."""
