@@ -225,8 +225,12 @@ def bench_fmindex(text_dev, text_host):
     pats = sample_patterns(text_host, NQ, QLEN)
 
     # ---- counts: end-to-end (pack+ship+search+pull), then device-only
+    # median-of-9 here (vs 5 elsewhere): this path ships 8 MB up + 4 MB
+    # down per rep and the tunnel's outliers are extreme (measured reps
+    # [1.4, 1.6, 2.1, 5.1, 10.1] within one run) -- 9 reps keep the
+    # median out of the contaminated tail
     fmi.counts(pats)  # compile + warm
-    count_s, cnts = _median_of(5, lambda: fmi.counts(pats),
+    count_s, cnts = _median_of(9, lambda: fmi.counts(pats),
                                "fmindex_query counts e2e")
     assert int(cnts.sum()) > 0
     qwords_dev = jax.device_put(jnp.asarray(np_pack_queries_2bit(pats)))
