@@ -421,6 +421,17 @@ def test_serve_mode(tmp_path, caplog, monkeypatch):
     # the all-T pattern was planted nowhere
     assert any("found 0 times" in m for m in msgs)
 
+    # serve over the 8-device mesh: same answers through ShardedFMQuery
+    stdin = io.StringIO("GATTACAGATTACA\nquit\n")
+    stdout = io.StringIO()
+    args = cli.build_parser().parse_args(["serve", "-t", "8", path])
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="kiss_tpu"):
+        cli.serve_main(args, stdin=stdin, stdout=stdout)
+    assert stdout.getvalue().splitlines()[0] == "ready"
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("found 2 times" in m for m in msgs), msgs
+
 
 def test_batch_progress_log(fa_path, tmp_path, caplog):
     """Batch mode emits the reference's per-100k progress debug line
