@@ -400,7 +400,7 @@ def main() -> None:
             "patterns/s",
             occ=int(r["occ"]),
             checksum=int(r["checksum"]),
-            timing="median-of-5-warm",
+            timing="median-of-9-warm",
         ),
         m(
             "fmindex_query_1M_len25_counts_device_s",

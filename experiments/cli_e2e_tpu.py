@@ -155,12 +155,15 @@ def main() -> int:
         text=True, cwd=repo,
     )
     ROWS.append(("serve startup+warm", "ran", 0.0))
+    times = []
     try:
+        # a dead server (OOM, crash during warmup) must not crash the
+        # harness before the PASS/FAIL table is written: every pipe op
+        # is guarded, and a broken pipe just records a FAIL row
         ready = _readline_timeout(sp.stdout, 1200)
         t_ready = time.perf_counter() - t0
         ROWS[-1] = (ROWS[-1][0], ROWS[-1][1], t_ready)
         ok &= check("serve ready", ready.strip() == "ready", repr(ready))
-        times = []
         for i in range(2):
             sp.stdin.write("GATTACAGATTACA\n")
             sp.stdin.flush()
@@ -172,18 +175,21 @@ def main() -> int:
         sp.stdin.write("quit\n")
         sp.stdin.flush()
         sp.wait(timeout=120)
-        ROWS.append(("serve 2nd query", "ran",
-                     times[1] if len(times) > 1 else float("inf")))
-        # the VERDICT r4 #8 target: repeated queries under ~15 s
-        ok &= check(
-            "serve 2nd query < 15 s",
-            len(times) == 2 and times[1] < 15.0,
-            f"times={times}",
-        )
+    except (BrokenPipeError, OSError, subprocess.TimeoutExpired) as e:
+        ROWS[-1] = (ROWS[-1][0], f"FAIL {type(e).__name__}", ROWS[-1][2])
+        ok = False
     finally:
         if sp.poll() is None:
             sp.kill()
         errf.close()
+    ROWS.append(("serve 2nd query", "ran",
+                 times[1] if len(times) > 1 else float("inf")))
+    # the VERDICT r4 #8 target: repeated queries under ~15 s
+    ok &= check(
+        "serve 2nd query < 15 s",
+        len(times) == 2 and times[1] < 15.0,
+        f"times={times}",
+    )
 
     dev = "unknown"
     try:

@@ -211,7 +211,17 @@ EXTERNAL_THRESHOLD_FALLBACK = 350_000_000
 
 def in_core_capacity_chars(device=None) -> int:
     """Largest text (chars) the in-core pipeline should attempt on one
-    device, from ``device.memory_stats()`` when available."""
+    device, from ``device.memory_stats()`` when available.
+
+    The fallback assumes a >= 16 GB device; on a smaller-memory backend
+    that exposes no memory stats, set ``KISS_TPU_INCORE_CAP=<chars>``
+    (or pass ``--external``) -- the derivation cannot see what the
+    platform does not report."""
+    import os
+
+    override = os.environ.get("KISS_TPU_INCORE_CAP")
+    if override:
+        return int(override)
     try:
         if device is None:
             import jax
@@ -240,7 +250,11 @@ def suffix_sort_main(args) -> None:
     # the sharded in-core pipeline splits its buffers over the mesh, so
     # a multi-device -t raises the in-core capacity proportionally
     # (ADVICE r4: don't auto-route a mesh that can hold the text to the
-    # host-staged external sorter)
+    # host-staged external sorter). The 1/D per-device scaling is the
+    # design contract of the P(seq)-sharded pipeline (verified for
+    # residency at 1e8 on the virtual mesh, results_chm13_readiness.md)
+    # but unmeasured on real multi-chip HBM -- if a mesh run OOMs,
+    # --external (or KISS_TPU_INCORE_CAP) forces the out-of-core path.
     d = _mesh_size_for(args.num_threads)
     capacity = in_core_capacity_chars() * max(d, 1)
     sw = timing.Stopwatch()
@@ -454,10 +468,18 @@ def serve_main(args, stdin=None, stdout=None) -> None:
         if not line or line in ("quit", "exit"):
             break
         sw = timing.Stopwatch()
-        if line.startswith("batch "):
-            _batch_query(engine, line[len("batch "):].strip())
-        else:
-            _single_query(engine, seq, line, args.headn)
+        # one bad request (missing batch file, malformed pattern) must
+        # not kill the server -- the compile investment it amortizes is
+        # the whole point; report `err <reason>` and keep serving
+        try:
+            if line.startswith("batch "):
+                _batch_query(engine, line[len("batch "):].strip())
+            else:
+                _single_query(engine, seq, line, args.headn)
+        except Exception as e:  # noqa: BLE001 -- protocol boundary
+            timing.log_info("serve: request failed: %s", e)
+            print(f"err {type(e).__name__}: {e}", file=stdout, flush=True)
+            continue
         print(f"ok {sw.elapsed():.3f}", file=stdout, flush=True)
 
 

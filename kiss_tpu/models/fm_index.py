@@ -719,23 +719,41 @@ def batch_bfs_stats_device(
 # provenance in a JSON sidecar next to the archive; reference-written
 # archives have no sidecar and keep the conservative BFS routing.
 META_SUFFIX = ".meta"
-_META_PROBE = 1 << 16  # head/tail bytes hashed into the binding checksum
+_META_PROBE = 1 << 16  # bytes hashed per probe window (large archives)
+_META_STRIDE = 1 << 24  # probe every 16 MiB across large archives
+_META_FULL_HASH = 1 << 28  # archives up to 256 MiB are hashed in full
 
 
 def _archive_fingerprint(fmi_path: str) -> tuple[int, int]:
-    """(size, crc32 of the first+last 64 KiB) of the archive: cheap
-    content binding for the sidecar (ADVICE r4: a sidecar must not
-    survive the archive being rebuilt by another writer -- e.g. the
+    """(size, crc32 over 64 KiB windows every 16 MiB plus the tail):
+    cheap content binding for the sidecar (ADVICE r4: a sidecar must
+    not survive the archive being rebuilt by another writer -- e.g. the
     reference binary's 32-ordered build -- or the stale full_sa flag
-    would route locate through the walk and return wrong positions)."""
+    would route locate through the walk and return wrong positions).
+
+    A same-corpus rebuild produces an archive of IDENTICAL size whose
+    differences (BWT rows and sampled-SA entries inside tie regions)
+    can lie anywhere in the file, so head+tail probing is not enough:
+    archives up to ``_META_FULL_HASH`` are hashed in FULL (<= ~0.25 s),
+    larger ones (chm13-class, multi-GB) are sampled every 16 MiB plus
+    the tail, bounding the read at ~4 MB per GB."""
     import zlib
 
     size = os.path.getsize(fmi_path)
+    crc = 0
     with open(fmi_path, "rb") as f:
-        crc = zlib.crc32(f.read(_META_PROBE))
-        if size > _META_PROBE:
-            f.seek(max(size - _META_PROBE, 0))
+        if size <= _META_FULL_HASH:
+            while True:
+                chunk = f.read(1 << 22)
+                if not chunk:
+                    break
+                crc = zlib.crc32(chunk, crc)
+            return size, crc
+        for off in range(0, size, _META_STRIDE):
+            f.seek(off)
             crc = zlib.crc32(f.read(_META_PROBE), crc)
+        f.seek(size - _META_PROBE)
+        crc = zlib.crc32(f.read(_META_PROBE), crc)
     return size, crc
 
 
@@ -778,6 +796,31 @@ def read_meta(fmi_path: str) -> dict | None:
         if meta.get("fmi_size") != size or meta.get("fmi_crc32") != crc:
             return None
     return meta
+
+
+def _pow2_cap(n: int, base: int) -> int:
+    """Power-of-two capacity bucket >= n (bounds the compiled-program
+    count across repeated calls with varying sizes). Shared by every
+    locate/BFS call site incl. the mesh facade
+    (kiss_tpu/parallel/fm_sharded.py) so the single-device and sharded
+    paths keep identical padding behavior."""
+    cap = base
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def _ragged_rows(beg: np.ndarray, lens: np.ndarray):
+    """Host-side ragged expansion of per-query [beg, beg+len) row
+    ranges: returns (rows int64[R], starts int64[Q+1]) with
+    rows[starts[q]:starts[q+1]] belonging to query q."""
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    total = int(starts[-1])
+    rows = np.repeat(beg.astype(np.int64), lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lens)
+    )
+    return rows, starts
 
 
 # ---------------------------------------------------------------------------
@@ -910,10 +953,7 @@ class FMIndex:
         # pad to a power-of-two bucket so repeated queries with varying
         # occurrence counts reuse a handful of compiled programs (row 0
         # is always a valid row; pads are sliced away)
-        cap = 64
-        while cap < rows.size:
-            cap *= 2
-        padded = np.zeros(cap, dtype=idt)
+        padded = np.zeros(_pow2_cap(rows.size, 64), dtype=idt)
         padded[: rows.size] = rows
         out = locate_rows_device(
             self.arrays, jnp.asarray(padded), self.sa_intv
@@ -929,9 +969,7 @@ class FMIndex:
         total = int((end - beg).sum())
         if total == 0:
             return np.empty(0, dtype=np.uint32)
-        cap = 64
-        while cap < total:
-            cap *= 2
+        cap = _pow2_cap(total, 64)
         pos, _valid = bfs_locate_device(
             self.arrays, jnp.asarray(beg), jnp.asarray(end),
             self.sa_intv, cap,
@@ -973,17 +1011,12 @@ class FMIndex:
         """
         beg, end, _ = self.get_ranges(queries)
         lens = (end - beg).astype(np.int64)
-        starts = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=starts[1:])
-        total = int(starts[-1])
+        # ragged row materialization on host (sizes only known post-range)
+        rows, starts = _ragged_rows(beg, lens)
         if self.sa_intv != 1 and not self.full_sa:
             # BFS emission is grouped query-major, so the same starts
             # partition applies
             return lens, self._bfs_positions(beg, end), starts
-        # ragged row materialization on host (sizes only known post-range)
-        rows = np.repeat(beg.astype(np.int64), lens) + (
-            np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lens)
-        )
         positions = self.locate_rows(rows)
         return lens, positions, starts
 
@@ -999,9 +1032,7 @@ class FMIndex:
         total = int(jnp.sum(end - beg))
         if total == 0:
             return 0, 0
-        cap = 128
-        while cap < total:
-            cap *= 2
+        cap = _pow2_cap(total, 128)
         kernel = (
             batch_locate_stats_device
             if self.sa_intv == 1 or self.full_sa

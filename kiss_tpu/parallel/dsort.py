@@ -181,11 +181,12 @@ def make_sharded_sort_impl(mesh: Mesh, axis: str, algorithm: str = "auto"):
     poison-on-overflow contract); opt-in until validated on real
     multi-chip hardware. The sample impl exposes ``reset_flag()`` /
     ``take_flag()``: the accumulated overflow flag of every sort since
-    the last reset (a traced value when called under jit), so pipeline
-    entry points can return it and raise :class:`SampleSortOverflow`
-    on the host instead of handing callers poisoned output. Sample
-    also asserts global N < 2**31 at entry (its row accounting is
-    int32; columnsort has no such limit).
+    the last reset or take (a traced value when called under jit;
+    ``take_flag`` clears on read so a tracer never outlives its
+    trace), so pipeline entry points can return it and raise
+    :class:`SampleSortOverflow` on the host instead of handing callers
+    poisoned output. Sample also asserts global N < 2**31 at entry
+    (its row accounting is int32; columnsort has no such limit).
 
     Caller contract (satisfied by every sort in the rank-block sorter):
     the operand tuple, taken in full as a lexicographic key, is a total
@@ -268,7 +269,11 @@ def make_sharded_sort_impl(mesh: Mesh, axis: str, algorithm: str = "auto"):
         flag_state["flag"] = False
 
     def take_flag():
+        # clear-on-read: a traced flag must never outlive its trace --
+        # leaving it in flag_state would poison the globally cached impl
+        # for later eager use (UnexpectedTracerError on the next OR)
         f = flag_state["flag"]
+        flag_state["flag"] = False
         return jnp.asarray(f, bool)
 
     if algo == "sample":

@@ -85,12 +85,9 @@ class ShardedFMQuery:
         if rows.size == 0:
             return np.empty(0, dtype=np.uint32)
         idt = np.dtype(self.fmi.index_dtype)
-        # power-of-two capacity buckets bound the compiled-program count
-        # (row 0 is always valid; pads are sliced off)
-        cap = 64
-        while cap < rows.size:
-            cap *= 2
-        padded = np.zeros(cap, dtype=idt)
+        # same capacity buckets as FMIndex.locate_rows (shared helper:
+        # the single-device and mesh paths must not diverge)
+        padded = np.zeros(fm._pow2_cap(rows.size, 64), dtype=idt)
         padded[: rows.size] = rows
         out = sharded_locate_rows(
             self.mesh, self.arrays, jnp.asarray(padded), self.fmi.sa_intv
@@ -126,12 +123,7 @@ class ShardedFMQuery:
         if self.fmi.sa_intv != 1 and not self.fmi.full_sa:
             positions = self.fmi._bfs_positions(beg, end)
         else:
-            starts = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens, out=starts[1:])
-            rows = np.repeat(beg.astype(np.int64), lens) + (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(starts[:-1], lens)
-            )
+            rows, _starts = fm._ragged_rows(beg, lens)
             positions = self._locate(rows)
         return total, int(positions.astype(np.int64).sum())
 

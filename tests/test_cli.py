@@ -266,9 +266,10 @@ def test_stale_sidecar_rejected(tmp_path, monkeypatch):
     assert fm.read_meta(fmi_path)["full_sa"] is True
 
     # "rebuild" the archive out-of-band (what the reference binary
-    # would do): same length, different content
+    # would do): same length, different content -- flipped in the
+    # MIDDLE of the file, where head/tail-only probing would miss it
     blob = bytearray(open(fmi_path, "rb").read())
-    blob[100] ^= 0xFF
+    blob[len(blob) // 2] ^= 0xFF
     open(fmi_path, "wb").write(bytes(blob))
     assert fm.read_meta(fmi_path) is None
 
