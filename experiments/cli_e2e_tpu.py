@@ -102,6 +102,12 @@ def main() -> int:
                   ["suffix_sort", "--external", "-k", "100", fa])
     ok &= check("external k=100", rc == 0
                 and "suffix sorting elapsed" in out, out[-300:])
+    # round-5 native host strategy (csrc/kiss_lms.cpp): runs off-device
+    rc, out = run("suffix_sort LMS_INDUCED -k 100",
+                  ["suffix_sort", "-s", "lms_induced", "-k", "100",
+                   "-t", "2", fa])
+    ok &= check("lms_induced k=100", rc == 0
+                and "suffix sorting elapsed" in out, out[-300:])
 
     rc, out = run("fmindex_build", ["fmindex_build", fa])
     ok &= check(

@@ -19,12 +19,14 @@ import numpy as np
 from kiss_tpu import BANNER, VERSION
 from kiss_tpu.models import fm_index as fm_meta
 from kiss_tpu.models.fm_index import FMIndex
+from kiss_tpu.ops.lms_native import LmsSorter
 from kiss_tpu.ops.suffix_sort import Kiss1Sorter, Kiss2Sorter
 from kiss_tpu.utils import codec, fasta, timing
 
 SORTING_ALGORITHMS = {
     "PARALLEL_SORTING": Kiss1Sorter,
     "PREFIX_DOUBLING": Kiss2Sorter,
+    "LMS_INDUCED": LmsSorter,
 }
 
 
@@ -84,7 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
         "default). PREFIX_DOUBLING: 16-char super-char seed + 2-key "
         "doubling rounds (kISS-2's prefix doubling re-expressed). "
         "Identical output order either way (exact-k cut, position "
-        "tiebreaks).",
+        "tiebreaks). LMS_INDUCED: the reference's LMS direct sort + "
+        "induced L/S passes as native host C++ (csrc/kiss_lms.cpp; "
+        "reference kiss_common.hpp:40-579) -- the reference's weaker "
+        "contract: tie-group order unspecified at bounded k, "
+        "bit-identical at -1; -t caps its OpenMP threads; runs "
+        "host-resident (never routed out-of-core).",
     )
     ss.add_argument(
         "--external",
@@ -257,8 +264,12 @@ def suffix_sort_main(args) -> None:
     # --external (or KISS_TPU_INCORE_CAP) forces the out-of-core path.
     d = _mesh_size_for(args.num_threads)
     capacity = in_core_capacity_chars() * max(d, 1)
+    # LMS_INDUCED is host-resident (~10 B/char of host RAM, no device
+    # buffers), so the device-memory auto-route does not apply to it;
+    # an explicit --external still wins.
+    host_resident = args.sorting_algorithm == "LMS_INDUCED"
     sw = timing.Stopwatch()
-    if args.external or len(ref) >= capacity:
+    if args.external or (len(ref) >= capacity and not host_resident):
         if not args.external:
             timing.log_info(
                 "routing: n = %d exceeds the in-core device budget "

@@ -32,9 +32,10 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and os.path.exists(
-            os.path.join(_CSRC, "Makefile")
-        ):
+        if os.path.exists(os.path.join(_CSRC, "Makefile")):
+            # always invoke make: it is a no-op when the library is
+            # current, and it rebuilds a stale .so that predates newer
+            # entry points (e.g. ki_lms_induced_sort)
             try:
                 subprocess.run(
                     ["make", "-C", _CSRC, "-s"],
@@ -43,7 +44,7 @@ def _load():
                     timeout=120,
                 )
             except Exception:
-                return None
+                pass  # fall through: a prebuilt .so may still exist
         if not os.path.exists(_SO):
             return None
         try:
@@ -65,6 +66,14 @@ def _load():
         lib.ki_unpack_dibits.argtypes = [u8p, ctypes.c_int64, i8p]
         lib.ki_pack_bits.restype = None
         lib.ki_pack_bits.argtypes = [u8p, ctypes.c_int64, u64p]
+        if hasattr(lib, "ki_lms_induced_sort"):
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.ki_lms_induced_sort.restype = ctypes.c_int
+            lib.ki_lms_induced_sort.argtypes = [
+                i8p, ctypes.c_int64, ctypes.c_int64, i64p,
+            ]
+            lib.ki_set_threads.restype = None
+            lib.ki_set_threads.argtypes = [ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -91,6 +100,30 @@ def fold_acgt_inplace(buf: np.ndarray) -> bool:
     assert buf.dtype == np.int8 and buf.flags.c_contiguous
     lib.ki_fold_acgt(buf, buf.shape[0])
     return True
+
+
+def set_threads(n: int) -> None:
+    """Cap OpenMP threads for native sort stages (the -t knob)."""
+    lib = _load()
+    if lib is not None and hasattr(lib, "ki_set_threads"):
+        lib.ki_set_threads(n)
+
+
+def lms_induced_sort(seq: np.ndarray, k: int) -> np.ndarray | None:
+    """Native LMS + induced k-ordered suffix sort (csrc/kiss_lms.cpp),
+    or None if the library is unavailable. ``k = -1`` = full sort.
+    Returns the n+1-slot SA as int64 (callers narrow the dtype)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ki_lms_induced_sort"):
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.int8)
+    sa = np.empty(len(seq) + 1, dtype=np.int64)
+    rc = lib.ki_lms_induced_sort(seq, len(seq), k, sa)
+    if rc != 0:
+        raise ValueError(
+            f"ki_lms_induced_sort rejected n={len(seq)}, k={k} (rc={rc})"
+        )
+    return sa
 
 
 def pack_dibits(vals: np.ndarray) -> np.ndarray | None:
