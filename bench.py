@@ -118,6 +118,29 @@ def bench_suffix_sort(text_dev) -> float:
     return best
 
 
+def bench_suffix_sort_lms_host(text_host):
+    """The round-5 native HOST strategy (-s LMS_INDUCED,
+    csrc/kiss_lms.cpp): the reference's LMS + induced-sort core on the
+    tier the reference runs it on. One timed run (serial induced
+    passes; this rig has 2 host cores vs the reference's 24 threads),
+    or None when no C++ toolchain is present."""
+    import time
+
+    from kiss_tpu.ops.lms_native import LmsSorter
+    from kiss_tpu.utils import native
+
+    if native.lms_induced_sort(
+        __import__("numpy").zeros(0, "int8"), 1
+    ) is None:
+        return None
+    t0 = time.perf_counter()
+    sa = LmsSorter.get_suffix_array_dna(text_host, 256, num_threads=2)
+    dt = time.perf_counter() - t0
+    assert int(sa[0]) == N
+    print(f"# suffix_sort LMS_INDUCED host k=256 {dt:.3f}s", flush=True)
+    return dt
+
+
 def bench_suffix_sort_unbounded(text_dev):
     """k = -1 (full suffix sort) for BOTH strategies -- kISS-2's entire
     reason to exist is unbounded-k stability (reference:
@@ -367,6 +390,7 @@ def main() -> None:
     best = bench_suffix_sort(text_dev)
     mbps = N / 1e6 / best
     unb = bench_suffix_sort_unbounded(text_dev)
+    lms_s = bench_suffix_sort_lms_host(text_host)
     r = bench_fmindex(text_dev, text_host)
 
     def m(name, value, unit, **kw):
@@ -390,6 +414,18 @@ def main() -> None:
             "suffix_sort_k-1_prefix_doubling_Mbp_s",
             N / 1e6 / unb["doubling"], "Mbp/s",
             seconds=round(unb["doubling"], 3),
+        ),
+        *(
+            [
+                m(
+                    "suffix_sort_k256_lms_host_Mbp_s",
+                    N / 1e6 / lms_s, "Mbp/s", seconds=round(lms_s, 3),
+                    note="native host strategy, 2 cores vs reference's "
+                    "24 threads; device strategies are the headline",
+                )
+            ]
+            if lms_s
+            else []
         ),
         m("fmindex_build_seconds_drosophila", r["build_s"], "s"),
         # reference-parity sort depth (fm_index.hpp:384-386 hardcodes 32)

@@ -30,6 +30,7 @@ BANNER = (
     + "\n"
 )
 
+from kiss_tpu.ops.lms_native import LmsSorter  # noqa: E402,F401
 from kiss_tpu.ops.suffix_sort import (  # noqa: E402,F401
     Kiss1Sorter,
     Kiss2Sorter,
